@@ -1,0 +1,129 @@
+"""Procedural synthetic RGB-D sequences (no files needed).
+
+A textured axis-aligned box room viewed from a smooth interior camera
+trajectory, ray-cast analytically in numpy. Provides ground-truth RGB,
+depth, and poses with the same __getitem__ contract as the file-backed
+loaders — used by the integration tests and bench.py since benchmark
+datasets are not shipped with the repo.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _look_at(eye, target, up=(0.0, -1.0, 0.0)):
+    """c2w with +z forward, matching the OpenCV/gradslam convention."""
+    fwd = np.asarray(target, np.float64) - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    up = np.asarray(up, np.float64)
+    right = np.cross(up, fwd)
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    c2w = np.eye(4)
+    c2w[:3, 0] = right
+    c2w[:3, 1] = down
+    c2w[:3, 2] = fwd
+    c2w[:3, 3] = eye
+    return c2w
+
+
+def _texture(p: np.ndarray) -> np.ndarray:
+    """Smooth procedural 3D texture -> [N, 3] colors in [0, 1]."""
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    r = 0.5 + 0.35 * np.sin(2.1 * x + 0.5) * np.cos(1.7 * z)
+    g = 0.5 + 0.35 * np.sin(1.3 * y + 1.1) * np.cos(2.3 * x)
+    b = 0.5 + 0.35 * np.sin(1.9 * z + 2.0) * np.cos(1.1 * y)
+    return np.stack([r, g, b], axis=-1)
+
+
+def _raycast_box(origins: np.ndarray, dirs: np.ndarray, half: float) -> np.ndarray:
+    """Distance along each ray to the inside of the box [-half, half]^3."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_hi = (half - origins) / dirs
+        t_lo = (-half - origins) / dirs
+    t_far = np.maximum(t_hi, t_lo)  # exit distance per axis
+    return np.min(t_far, axis=-1)
+
+
+class SyntheticDataset:
+    """Drop-in RGB-D sequence: dataset[i] -> (color HWC 0-255, depth HW1,
+    intrinsics 4x4, c2w pose 4x4), numpy float32, poses relative to frame 0."""
+
+    def __init__(
+        self,
+        num_frames: int = 30,
+        height: int = 120,
+        width: int = 160,
+        focal: float | None = None,
+        room_half: float = 3.0,
+        motion_scale: float = 1.0,
+        seed: int = 0,
+        relative_pose: bool = True,
+    ):
+        self.num_imgs = num_frames
+        self.desired_height = height
+        self.desired_width = width
+        self.fx = self.fy = float(focal if focal is not None else 0.9 * width)
+        self.cx = width / 2.0
+        self.cy = height / 2.0
+        self.room_half = room_half
+        self.png_depth_scale = 1.0
+
+        rng = np.random.default_rng(seed)
+        self._phase = rng.uniform(0, 2 * np.pi)
+        angles = np.linspace(0, 0.35 * motion_scale, num_frames) + self._phase
+        radius = 0.8
+        self.poses = []
+        for i, a in enumerate(angles):
+            eye = np.array(
+                [
+                    radius * np.sin(a),
+                    0.25 * np.sin(0.5 * a + 0.3),
+                    radius * np.cos(a) - 0.5,
+                ]
+            )
+            target = eye + np.array([np.sin(a * 1.5), 0.1 * np.sin(a), np.cos(a * 1.5)])
+            self.poses.append(_look_at(eye, target))
+        self.poses = np.stack(self.poses)
+        if relative_pose:
+            inv0 = np.linalg.inv(self.poses[0])
+            self.poses = np.einsum("ij,njk->nik", inv0, self.poses)
+            self._world_from_frame0 = np.linalg.inv(inv0)
+        else:
+            self._world_from_frame0 = np.eye(4)
+
+    def __len__(self):
+        return self.num_imgs
+
+    def get_cam_K(self):
+        k = np.eye(3)
+        k[0, 0], k[1, 1], k[0, 2], k[1, 2] = self.fx, self.fy, self.cx, self.cy
+        return k
+
+    def render_frame(self, c2w_rel: np.ndarray):
+        """Ray-cast color/depth for a camera given relative-to-frame0 c2w."""
+        c2w = self._world_from_frame0 @ c2w_rel
+        h, w = self.desired_height, self.desired_width
+        ys, xs = np.mgrid[0:h, 0:w]
+        dirs_cam = np.stack(
+            [
+                (xs - self.cx) / self.fx,
+                (ys - self.cy) / self.fy,
+                np.ones_like(xs, dtype=np.float64),
+            ],
+            axis=-1,
+        )
+        dirs_world = dirs_cam @ c2w[:3, :3].T
+        origins = np.broadcast_to(c2w[:3, 3], dirs_world.shape)
+        t = _raycast_box(origins, dirs_world, self.room_half)
+        depth = t  # z-depth: dirs_cam z component is 1, so t*|d| z-proj == t
+        pts = origins + t[..., None] * dirs_world
+        color = _texture(pts) * 255.0
+        return color.astype(np.float32), depth.astype(np.float32)[..., None]
+
+    def __getitem__(self, index):
+        pose = self.poses[index]
+        color, depth = self.render_frame(pose)
+        intrinsics = np.eye(4, dtype=np.float32)
+        intrinsics[:3, :3] = self.get_cam_K()
+        return color, depth, intrinsics, pose.astype(np.float32)

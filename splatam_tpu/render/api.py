@@ -1,0 +1,168 @@
+"""Public render API: fused differentiable RGB/depth/silhouette rendering.
+
+Replaces the reference's double rasterizer launch per loss evaluation
+(`Renderer(cam)(**rendervar)` for RGB at scripts/splatam.py:249 plus
+`Renderer(cam)(**depth_sil_rendervar)` with colors [z, 1, z^2] at :253) with
+ONE fused pass that composites six channels: (r, g, b, z, 1, z^2). Channel
+semantics are identical: silhouette = alpha-composited ones, depth =
+composited per-Gaussian camera-z (utils/slam_helpers.py:196-213), and the
+depth uncertainty E[z^2]-E[z]^2 falls out of channels 3 and 5.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from splatam_tpu.core.camera import Camera
+from splatam_tpu.core.transforms import normalize
+from splatam_tpu.render import binning as binning_mod
+from splatam_tpu.render import composite_jax
+from splatam_tpu.render import naive as naive_mod
+from splatam_tpu.render import projection as projection_mod
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Static knobs for the renderer (hashable: safe as a jit static arg)."""
+
+    backend: str = "auto"  # "naive" | "tiles" | "pallas" | "auto"
+    pair_cap: int = 1 << 21  # global (gaussian, tile) pair buffer capacity
+    tile_k_max: int = 2048  # per-tile gaussian list capacity (tiles backend)
+
+    def resolve_backend(self) -> str:
+        if self.backend != "auto":
+            return self.backend
+        return "pallas" if jax.default_backend() not in ("cpu",) else "tiles"
+
+
+class RenderOutput(NamedTuple):
+    im: jax.Array  # [3, H, W] rgb
+    depth: jax.Array  # [H, W] composited z
+    silhouette: jax.Array  # [H, W] accumulated opacity
+    depth_sq: jax.Array  # [H, W] composited z^2
+    radii: jax.Array  # [N] int32 screen radius (0 = culled)
+    overflow: jax.Array  # scalar int32: dropped pairs / list overflow
+
+
+def _composite_backend(cfg: RenderConfig, cam: Camera, xy, conic, opacity, depth, channels, aux):
+    """Dispatch the compositing stage; returns ([C,H,W] image, overflow)."""
+    backend = cfg.resolve_backend()
+    w, h = cam.width, cam.height
+    proj = projection_mod.Projected(xy=xy, depth=depth, conic=conic, opacity=opacity)
+    if backend == "naive":
+        img = naive_mod.composite_naive(proj, aux, channels, w, h)
+        return img, jnp.int32(0)
+
+    bins = binning_mod.build_bins(
+        proj._replace(depth=jax.lax.stop_gradient(depth)), aux, w, h, cfg.pair_cap, far=cam.far
+    )
+    grid_x, grid_y = binning_mod.grid_shape(w, h)
+    num_tiles = grid_x * grid_y
+
+    if backend == "pallas":
+        from splatam_tpu.render.pallas import composite_pallas
+
+        img, list_overflow = composite_pallas.composite(
+            xy, conic, opacity, channels, bins, w, h
+        )
+        return img, bins.overflow + list_overflow
+
+    lists, lens, list_overflow = binning_mod.tile_lists(bins, num_tiles, cfg.tile_k_max)
+    px, py = composite_jax.tile_pixel_coords(w, h)
+    acc = composite_jax.composite_tiles(
+        xy, conic, opacity, channels, lists, lens, jnp.asarray(px), jnp.asarray(py)
+    )
+    img = composite_jax.assemble_image(acc, w, h)
+    return img, bins.overflow + list_overflow
+
+
+def render_gaussians(
+    cam: Camera,
+    means3d: jax.Array,
+    colors: jax.Array,
+    unnorm_rotations: jax.Array,
+    logit_opacities: jax.Array,
+    log_scales: jax.Array,
+    active: jax.Array,
+    config: RenderConfig = RenderConfig(),
+    means2d_dummy: jax.Array | None = None,
+    append_depth_channels: bool = True,
+):
+    """Differentiable render of arbitrary per-Gaussian color channels.
+
+    means3d are in the frame cam.w2c maps FROM (the SLAM loop passes
+    camera-frame Gaussians with an identity w2c, mirroring
+    transform_to_frame + first-frame camera in the reference).
+
+    Returns (img [C(+3), H, W], radii [N], overflow scalar). When
+    `append_depth_channels`, three channels [z, 1, z^2] are appended after
+    the user channels.
+    """
+    n = means3d.shape[0]
+    if log_scales.shape[1] == 1:
+        log_scales = jnp.tile(log_scales, (1, 3))
+    scales = jnp.exp(log_scales)
+    quats = normalize(unnorm_rotations)
+    logit_op = logit_opacities.reshape(n)
+
+    proj, aux = projection_mod.project(
+        means3d, quats, logit_op, scales, active, cam.w2c_array(),
+        cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height,
+    )
+
+    chans = [colors]
+    if append_depth_channels:
+        ones = jnp.ones_like(proj.depth)
+        chans.append(jnp.stack([proj.depth, ones, proj.depth * proj.depth], axis=-1))
+    channels = jnp.concatenate(chans, axis=-1) if len(chans) > 1 else colors
+
+    xy = proj.xy
+    if means2d_dummy is not None:
+        # Dummy zero input that harvests screen-space gradients with the
+        # reference's NDC half-extent scaling (dL/ddummy = [W/2, H/2]*dL/dpix),
+        # consumed by 3DGS densification stats (utils/slam_external.py:100-104).
+        scale = jnp.asarray([cam.width * 0.5, cam.height * 0.5], jnp.float32)
+        xy = xy + means2d_dummy * scale
+
+    img, overflow = _composite_backend(
+        config, cam, xy, proj.conic, proj.opacity, proj.depth, channels, aux
+    )
+    return img, aux.radius, overflow
+
+
+def render_rgbd_sil(
+    cam: Camera,
+    means3d: jax.Array,
+    rgb_colors: jax.Array,
+    unnorm_rotations: jax.Array,
+    logit_opacities: jax.Array,
+    log_scales: jax.Array,
+    active: jax.Array,
+    config: RenderConfig = RenderConfig(),
+    means2d_dummy: jax.Array | None = None,
+) -> RenderOutput:
+    """Fused RGB + depth + silhouette + depth^2 render (six channels)."""
+    img, radii, overflow = render_gaussians(
+        cam,
+        means3d,
+        rgb_colors,
+        unnorm_rotations,
+        logit_opacities,
+        log_scales,
+        active,
+        config=config,
+        means2d_dummy=means2d_dummy,
+        append_depth_channels=True,
+    )
+    return RenderOutput(
+        im=img[:3],
+        depth=img[3],
+        silhouette=img[4],
+        depth_sq=img[5],
+        radii=radii,
+        overflow=overflow,
+    )

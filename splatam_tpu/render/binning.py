@@ -1,0 +1,120 @@
+"""Tile binning with static shapes: pair expansion + one global key sort.
+
+The reference rasterizer duplicates each Gaussian into one (tile, depth) key
+per covered tile and radix-sorts the pairs (CUDA InclusiveSum + SortPairs).
+The TPU equivalent here keeps every shape static:
+
+  * pair slots live in a fixed [PAIR_CAP] buffer; the slot -> Gaussian map is
+    recovered with a scatter-of-segment-starts + cumsum (no searchsorted over
+    millions of elements, no dynamic shapes);
+  * keys are (tile_id << depth_bits) | log-quantized depth packed into a
+    *positive int32*, sorted with a single jax.lax.sort_key_val;
+  * per-tile ranges come from a [num_tiles+1] searchsorted over the sorted
+    keys.
+
+Overflow beyond PAIR_CAP is dropped and counted (telemetry), mirroring the
+survey's capacity-with-telemetry design (SURVEY.md section 7.3).
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from splatam_tpu.render.projection import NEAR_CLIP, TILE, Projected, ProjectedAux
+
+
+class Bins(NamedTuple):
+    pair_gauss: jax.Array  # [PAIR_CAP] int32 gaussian index per sorted pair
+    tile_start: jax.Array  # [num_tiles + 1] int32 segment starts
+    n_pairs: jax.Array  # scalar int32 (valid pairs)
+    overflow: jax.Array  # scalar int32 (pairs dropped)
+
+
+def grid_shape(width: int, height: int) -> tuple[int, int]:
+    return (width + TILE - 1) // TILE, (height + TILE - 1) // TILE
+
+
+def depth_bits_for(num_tiles: int) -> int:
+    """Depth bits so that (num_tiles+1) << bits fits in a positive int32."""
+    tile_bits = max(1, math.ceil(math.log2(num_tiles + 2)))
+    bits = 31 - tile_bits
+    if bits < 12:
+        raise ValueError(f"image too large: {num_tiles} tiles leaves {bits} depth bits")
+    return min(bits, 22)
+
+
+def build_bins(
+    proj: Projected,
+    aux: ProjectedAux,
+    width: int,
+    height: int,
+    pair_cap: int,
+    far: float = 100.0,
+) -> Bins:
+    grid_x, grid_y = grid_shape(width, height)
+    num_tiles = grid_x * grid_y
+    bits = depth_bits_for(num_tiles)
+    qmax = (1 << bits) - 1
+
+    rect_w = aux.rect_wh[:, 0]
+    counts = jnp.where(aux.visible, rect_w * aux.rect_wh[:, 1], 0)
+    offsets = jnp.cumsum(counts) - counts  # exclusive prefix sum
+    total = offsets[-1] + counts[-1]
+    overflow = jnp.maximum(total - pair_cap, 0)
+
+    # Recover slot -> gaussian: drop a marker at each segment start, cumsum.
+    marks = jnp.zeros((pair_cap,), jnp.int32)
+    marks = marks.at[offsets].add(1, mode="drop")
+    g_of_p = jnp.cumsum(marks) - 1  # [PAIR_CAP]
+
+    slot = jnp.arange(pair_cap, dtype=jnp.int32)
+    valid = slot < total
+    g = jnp.clip(g_of_p, 0, proj.depth.shape[0] - 1)
+
+    j = slot - offsets[g]
+    w = jnp.maximum(rect_w[g], 1)
+    tdx = j % w
+    tdy = j // w
+    tx = aux.rect_min[g, 0] + tdx
+    ty = aux.rect_min[g, 1] + tdy
+    tile = ty * grid_x + tx
+
+    z = jnp.clip(proj.depth[g], NEAR_CLIP, far)
+    log_span = math.log(far / NEAR_CLIP)
+    q = (jnp.log(z / NEAR_CLIP) / log_span * qmax).astype(jnp.int32)
+    q = jnp.clip(q, 0, qmax)
+
+    key = (tile << bits) | q
+    key = jnp.where(valid, key, jnp.int32(2**31 - 1))
+
+    sorted_key, pair_gauss = jax.lax.sort_key_val(key, g, is_stable=True)
+
+    targets = (jnp.arange(num_tiles + 1, dtype=jnp.int32) << bits)
+    tile_start = jnp.searchsorted(sorted_key, targets, side="left").astype(jnp.int32)
+    n_pairs = jnp.minimum(total, pair_cap)
+    return Bins(
+        pair_gauss=pair_gauss,
+        tile_start=tile_start,
+        n_pairs=n_pairs,
+        overflow=overflow,
+    )
+
+
+def tile_lists(bins: Bins, num_tiles: int, k_max: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fixed-width per-tile Gaussian lists for the scan compositor.
+
+    Returns (lists [T, K] int32 gaussian idx, lens [T] int32, overflow scalar)
+    where entries beyond lens are undefined (masked by the consumer).
+    """
+    starts = bins.tile_start[:-1]
+    full_lens = bins.tile_start[1:] - starts
+    lens = jnp.minimum(full_lens, k_max)
+    overflow = jnp.sum(jnp.maximum(full_lens - k_max, 0))
+    cols = jnp.arange(k_max, dtype=jnp.int32)
+    idx = starts[:, None] + cols[None, :]
+    idx = jnp.clip(idx, 0, bins.pair_gauss.shape[0] - 1)
+    lists = bins.pair_gauss[idx]
+    return lists, lens, overflow

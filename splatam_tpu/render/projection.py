@@ -1,0 +1,147 @@
+"""Per-Gaussian screen-space preprocessing (EWA splatting), pure JAX.
+
+Reimplements the projection stage of the reference's CUDA rasterizer
+(diff-gaussian-rasterization-w-depth, consumed as a pip dep —
+requirements.txt:16; call signature at utils/slam_helpers.py:131-138):
+view transform, NDC projection with the reference's exact OpenGL-matrix
+pipeline (utils/recon_helpers.py:9-13 + ndc2Pix), 3D->2D covariance via the
+EWA Jacobian with the 1.3*tanfov clamp, the +0.3 screen-space dilation,
+conic/radius computation, and 16x16 tile rectangle extents.
+
+Everything here is differentiable; the render op takes this function's VJP
+via jax.vjp instead of hand-deriving gradients (the hand-written part of the
+backward pass lives in the compositor only).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+TILE = 16  # BLOCK_X = BLOCK_Y = 16 in the reference rasterizer
+NEAR_CLIP = 0.2  # in_frustum threshold p_view.z > 0.2
+
+
+class Projected(NamedTuple):
+    """Differentiable per-Gaussian screen-space quantities ([N, .])."""
+
+    xy: jax.Array  # [N, 2] pixel-space mean
+    depth: jax.Array  # [N] camera-frame z (sort key and depth channel)
+    conic: jax.Array  # [N, 3] inverse 2D covariance (a, b, c): ax^2+2bxy+cy^2
+    opacity: jax.Array  # [N] sigmoid-activated opacity
+
+
+class ProjectedAux(NamedTuple):
+    """Non-differentiable per-Gaussian outputs (treated as constants)."""
+
+    radius: jax.Array  # [N] int32 pixel radius (0 => culled)
+    rect_min: jax.Array  # [N, 2] int32 (tx, ty) inclusive tile rect min
+    rect_wh: jax.Array  # [N, 2] int32 tile rect extent (wx, wy)
+    visible: jax.Array  # [N] bool
+
+
+def build_cov3d(quats: jax.Array, scales: jax.Array) -> jax.Array:
+    """Sigma = R diag(s^2) R^T for wxyz quats [N,4], scales [N,3] -> [N,3,3]."""
+    from splatam_tpu.core.transforms import build_rotation
+
+    rot = build_rotation(quats)
+    rs = rot * scales[:, None, :]  # R @ diag(s)
+    return rs @ jnp.swapaxes(rs, -1, -2)
+
+
+def project(
+    means3d: jax.Array,
+    quats: jax.Array,
+    logit_opacities: jax.Array,
+    scales: jax.Array,
+    active: jax.Array,
+    w2c: jax.Array,
+    fx,
+    fy,
+    cx,
+    cy,
+    width: int,
+    height: int,
+) -> tuple[Projected, ProjectedAux]:
+    """EWA-project all Gaussians. means3d are in the frame that w2c maps
+    from (world/reference frame); scales must already be [N, 3]."""
+    n = means3d.shape[0]
+    rot3 = w2c[:3, :3]
+    p_view = means3d @ rot3.T + w2c[:3, 3]
+    tz = p_view[:, 2]
+    in_front = tz > NEAR_CLIP
+    safe_tz = jnp.where(in_front, tz, 1.0)
+
+    # NDC projection, literally mirroring setup_camera's opengl_proj + ndc2Pix
+    # so the half-pixel convention matches the reference bit-for-bit.
+    p_w = 1.0 / (safe_tz + 1e-7)
+    x_ndc = (2.0 * fx / width * p_view[:, 0] - (width - 2.0 * cx) / width * safe_tz) * p_w
+    y_ndc = (2.0 * fy / height * p_view[:, 1] - (height - 2.0 * cy) / height * safe_tz) * p_w
+    pix_x = ((x_ndc + 1.0) * width - 1.0) * 0.5
+    pix_y = ((y_ndc + 1.0) * height - 1.0) * 0.5
+    xy = jnp.stack([pix_x, pix_y], axis=-1)
+
+    # 2D covariance: J W Sigma W^T J^T with the reference's frustum clamp.
+    cov3d = build_cov3d(quats, scales)
+    vrk = rot3 @ cov3d @ rot3.T  # rotate covariance into camera frame
+    limx = 1.3 * (width / (2.0 * fx))
+    limy = 1.3 * (height / (2.0 * fy))
+    txtz = jnp.clip(p_view[:, 0] / safe_tz, -limx, limx)
+    tytz = jnp.clip(p_view[:, 1] / safe_tz, -limy, limy)
+    tx = txtz * safe_tz
+    ty = tytz * safe_tz
+
+    inv_z = 1.0 / safe_tz
+    inv_z2 = inv_z * inv_z
+    # J rows: [fx/z, 0, -fx*x/z^2], [0, fy/z, -fy*y/z^2]
+    j00 = fx * inv_z
+    j02 = -fx * tx * inv_z2
+    j11 = fy * inv_z
+    j12 = -fy * ty * inv_z2
+
+    # cov2d = J V J^T expanded for the sparse J structure.
+    v00, v01, v02 = vrk[:, 0, 0], vrk[:, 0, 1], vrk[:, 0, 2]
+    v11, v12, v22 = vrk[:, 1, 1], vrk[:, 1, 2], vrk[:, 2, 2]
+    c00 = j00 * (j00 * v00 + j02 * v02) + j02 * (j00 * v02 + j02 * v22) + 0.3
+    c01 = j11 * (j00 * v01 + j02 * v12) + j12 * (j00 * v02 + j02 * v22)
+    c11 = j11 * (j11 * v11 + j12 * v12) + j12 * (j11 * v12 + j12 * v22) + 0.3
+
+    det = c00 * c11 - c01 * c01
+    det_ok = det != 0.0
+    safe_det = jnp.where(det_ok, det, 1.0)
+    inv_det = 1.0 / safe_det
+    conic = jnp.stack([c11 * inv_det, -c01 * inv_det, c00 * inv_det], axis=-1)
+
+    mid = 0.5 * (c00 + c11)
+    disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    lambda1 = mid + disc
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, mid - disc)))
+    radius = radius_f.astype(jnp.int32)
+
+    grid_x = (width + TILE - 1) // TILE
+    grid_y = (height + TILE - 1) // TILE
+    # getRect: float divide then C-style trunc-to-int, clamped to the grid.
+    rmin_x = jnp.clip(((pix_x - radius_f) / TILE).astype(jnp.int32), 0, grid_x)
+    rmin_y = jnp.clip(((pix_y - radius_f) / TILE).astype(jnp.int32), 0, grid_y)
+    rmax_x = jnp.clip(((pix_x + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, grid_x)
+    rmax_y = jnp.clip(((pix_y + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, grid_y)
+    rect_w = jnp.maximum(rmax_x - rmin_x, 0)
+    rect_h = jnp.maximum(rmax_y - rmin_y, 0)
+
+    visible = active & in_front & det_ok & (rect_w * rect_h > 0)
+    radius = jnp.where(visible, radius, 0)
+
+    proj = Projected(
+        xy=xy,
+        depth=tz,
+        conic=conic,
+        opacity=jax.nn.sigmoid(logit_opacities),
+    )
+    aux = ProjectedAux(
+        radius=radius,
+        rect_min=jnp.stack([rmin_x, rmin_y], axis=-1),
+        rect_wh=jnp.stack([rect_w, rect_h], axis=-1),
+        visible=visible,
+    )
+    return proj, aux

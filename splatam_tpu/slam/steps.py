@@ -1,0 +1,492 @@
+"""Jitted SLAM phase programs: loss, tracking, mapping, densification.
+
+Reference semantics from scripts/splatam.py:
+  * get_loss (:214-347) — phase-gated gradients (tracking: camera only,
+    mapping: Gaussians only) via stop_gradient, silhouette/outlier masks,
+    sum-losses for tracking and mean-depth + 0.8 L1 + 0.2 (1-SSIM) for
+    mapping.
+  * tracking loop (:690-744) — fresh Adam, best-candidate pose (post-step
+    pose paired with pre-step loss — a reference quirk preserved here),
+    optional one-time 2x iteration extension when the weighted depth loss
+    is above depth_loss_thres (:727-738).
+  * mapping loop (:828-891) — random keyframe per iteration, pruning
+    before the optimizer step (utils/slam_external.py:167-188).
+  * add_new_gaussians (:378-420) — silhouette + depth-error triggered
+    backprojection, rewritten as a scatter into free capacity slots.
+
+Each phase is ONE jitted program (whole optimization loop inside
+lax.while_loop / fori_loop), not one dispatch per iteration.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from splatam_tpu.core.camera import Camera
+from splatam_tpu.core.gaussians import GaussianMap
+from splatam_tpu.core.losses import calc_ssim
+from splatam_tpu.core.transforms import build_rotation, normalize, quat_mult
+from splatam_tpu.render.api import RenderConfig, render_rgbd_sil
+from splatam_tpu.slam import optim
+
+sg = jax.lax.stop_gradient
+
+
+@dataclass(frozen=True)
+class PhaseConfig:
+    """Static per-phase loss configuration (hashable jit argument)."""
+
+    use_sil_for_loss: bool
+    sil_thres: float
+    use_l1: bool
+    ignore_outlier_depth_loss: bool
+    w_im: float
+    w_depth: float
+
+
+class LossAux(NamedTuple):
+    weighted_depth_loss: jax.Array
+    weighted_im_loss: jax.Array
+    silhouette: jax.Array
+    render_depth: jax.Array
+    radii: jax.Array
+    overflow: jax.Array
+
+
+def transform_to_frame(gm: GaussianMap, q: jax.Array, t: jax.Array,
+                       gaussians_grad: bool, camera_grad: bool):
+    """World->camera transform with phase-gated gradients.
+
+    Parity: utils/slam_helpers.py:252-304. Isotropic maps skip quaternion
+    rotation (spherical covariance is rotation invariant).
+    """
+    cam_rot = normalize(q) if camera_grad else sg(normalize(q))
+    cam_tran = t if camera_grad else sg(t)
+    pts = gm.means3d if gaussians_grad else sg(gm.means3d)
+    rots = gm.unnorm_rotations if gaussians_grad else sg(gm.unnorm_rotations)
+
+    rmat = build_rotation(cam_rot[None])[0]
+    means_cam = pts @ rmat.T + cam_tran
+    if gm.isotropic:
+        rots_cam = rots
+    else:
+        rots_cam = quat_mult(cam_rot[None], normalize(rots))
+    return means_cam, rots_cam
+
+
+def _median_lower(x: jax.Array) -> jax.Array:
+    """torch.median semantics: lower of the two central order statistics."""
+    flat = x.reshape(-1)
+    k = (flat.shape[0] - 1) // 2
+    return jnp.sort(flat)[k]
+
+
+def get_loss(
+    gm: GaussianMap,
+    q: jax.Array,
+    t: jax.Array,
+    color: jax.Array,  # [3, H, W]
+    depth_gt: jax.Array,  # [H, W]
+    cam: Camera,
+    pcfg: PhaseConfig,
+    rcfg: RenderConfig,
+    tracking: bool,
+    mapping: bool,
+    do_ba: bool = False,
+):
+    """Reference get_loss (scripts/splatam.py:214-347), fused renders."""
+    if tracking:
+        means_cam, rots_cam = transform_to_frame(gm, q, t, False, True)
+    elif mapping and do_ba:
+        means_cam, rots_cam = transform_to_frame(gm, q, t, True, True)
+    elif mapping:
+        means_cam, rots_cam = transform_to_frame(gm, q, t, True, False)
+    else:
+        means_cam, rots_cam = transform_to_frame(gm, q, t, True, False)
+
+    params_grad = mapping or not tracking
+    logit_op = gm.logit_opacities if params_grad else sg(gm.logit_opacities)
+    log_scales = gm.log_scales if params_grad else sg(gm.log_scales)
+    colors = gm.rgb_colors if params_grad else sg(gm.rgb_colors)
+
+    out = render_rgbd_sil(
+        cam,
+        means_cam,
+        colors,
+        rots_cam,
+        logit_op,
+        log_scales,
+        gm.active,
+        config=rcfg,
+    )
+
+    depth = out.depth
+    silhouette = out.silhouette
+    uncertainty = sg(out.depth_sq - depth * depth)
+
+    nan_mask = ~jnp.isnan(depth) & ~jnp.isnan(uncertainty)
+    valid = depth_gt > 0
+    if pcfg.ignore_outlier_depth_loss:
+        depth_error = jnp.abs(depth_gt - depth) * valid
+        mask = (depth_error < 10.0 * _median_lower(depth_error)) & valid
+    else:
+        mask = valid
+    mask = mask & nan_mask
+    if tracking and pcfg.use_sil_for_loss:
+        mask = mask & (silhouette > pcfg.sil_thres)
+    mask = sg(mask)
+
+    if tracking:
+        depth_loss = jnp.sum(jnp.abs(depth_gt - depth) * mask)
+    else:
+        cnt = jnp.maximum(jnp.sum(mask), 1)
+        depth_loss = jnp.sum(jnp.abs(depth_gt - depth) * mask) / cnt
+
+    if tracking and (pcfg.use_sil_for_loss or pcfg.ignore_outlier_depth_loss):
+        im_loss = jnp.sum(jnp.abs(color - out.im) * mask[None])
+    elif tracking:
+        im_loss = jnp.sum(jnp.abs(color - out.im))
+    else:
+        im_loss = 0.8 * jnp.abs(out.im - color).mean() + 0.2 * (
+            1.0 - calc_ssim(out.im, color)
+        )
+
+    w_depth = pcfg.w_depth * depth_loss
+    w_im = pcfg.w_im * im_loss
+    loss = w_depth + w_im
+    aux = LossAux(
+        weighted_depth_loss=w_depth,
+        weighted_im_loss=w_im,
+        silhouette=silhouette,
+        render_depth=depth,
+        radii=out.radii,
+        overflow=out.overflow,
+    )
+    return loss, aux
+
+
+# ---------------------------------------------------------------------------
+# Tracking
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cam", "num_iters", "use_depth_loss_thres", "pcfg", "rcfg", "lr_q", "lr_t"
+    ),
+)
+def tracking_phase(
+    gm: GaussianMap,
+    q0: jax.Array,
+    t0: jax.Array,
+    color: jax.Array,
+    depth_gt: jax.Array,
+    cam: Camera,
+    num_iters: int,
+    use_depth_loss_thres: bool,
+    depth_loss_thres: float,
+    lr_q: float,
+    lr_t: float,
+    pcfg: PhaseConfig,
+    rcfg: RenderConfig,
+):
+    """Whole tracking optimization for one frame in one jitted while_loop.
+
+    Returns (best_q, best_t, iters_run, final_loss).
+    """
+
+    def loss_fn(qt):
+        q, t = qt
+        return get_loss(gm, q, t, color, depth_gt, cam, pcfg, rcfg, True, False)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    lrs = (jnp.float32(lr_q), jnp.float32(lr_t))
+
+    def cond(carry):
+        it, limit, *_ = carry
+        return it < limit
+
+    def body(carry):
+        it, limit, qt, st, best_q, best_t, min_loss = carry
+        (loss, aux), grads = grad_fn(qt)
+        qt, st = optim.adam_step(st, qt, grads, lrs, eps=1e-8)
+        better = loss < min_loss
+        best_q = jnp.where(better, qt[0], best_q)
+        best_t = jnp.where(better, qt[1], best_t)
+        min_loss = jnp.minimum(loss, min_loss)
+        if use_depth_loss_thres:
+            # Reference checks ONLY at iter == num_iters (scripts/
+            # splatam.py:727-738): stop if the weighted depth loss is under
+            # the threshold, otherwise extend once to 2x num_iters.
+            at_check = (it + 1 == num_iters) & (limit == num_iters)
+            under = aux.weighted_depth_loss < depth_loss_thres
+            limit = jnp.where(at_check & ~under, 2 * num_iters, limit)
+        return (it + 1, limit, qt, st, best_q, best_t, min_loss)
+
+    st0 = optim.adam_init((q0, t0))
+    carry0 = (
+        jnp.int32(0),
+        jnp.int32(num_iters),
+        (q0, t0),
+        st0,
+        q0,
+        t0,
+        jnp.float32(1e20),
+    )
+    it, _, _, _, best_q, best_t, min_loss = jax.lax.while_loop(cond, body, carry0)
+    return best_q, best_t, it, min_loss
+
+
+# ---------------------------------------------------------------------------
+# Mapping
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PruneConfig:
+    """Parity: pruning_dict (configs/replica/splatam.py:102-111)."""
+
+    enabled: bool = True
+    start_after: int = 0
+    remove_big_after: int = 0
+    stop_after: int = 20
+    prune_every: int = 20
+    removal_opacity_threshold: float = 0.005
+    final_removal_opacity_threshold: float = 0.005
+    reset_opacities: bool = False
+    reset_opacities_every: int = 500
+
+
+def _prune_mask(params, active, it, scene_radius, pc: PruneConfig):
+    logit_op, log_scales = params[3], params[4]
+    thresh = jnp.where(
+        it == pc.stop_after,
+        pc.final_removal_opacity_threshold,
+        pc.removal_opacity_threshold,
+    )
+    to_remove = jax.nn.sigmoid(logit_op) < thresh
+    big = jnp.max(jnp.exp(log_scales), axis=1) > 0.1 * scene_radius
+    to_remove = jnp.where(it >= pc.remove_big_after, to_remove | big, to_remove)
+    do_prune = (
+        (it <= pc.stop_after)
+        & (it >= pc.start_after)
+        & (it % pc.prune_every == 0)
+    )
+    return jnp.where(do_prune, active & ~to_remove, active)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cam", "num_iters", "pcfg", "rcfg", "prune_cfg", "lrs"),
+)
+def mapping_phase(
+    gm: GaussianMap,
+    kf_colors_u8: jax.Array,  # [S, H, W, 3] uint8 keyframe store
+    kf_depths: jax.Array,  # [S, H, W] f32
+    iter_slots: jax.Array,  # [num_iters] int32 store slot per iteration
+    iter_qs: jax.Array,  # [num_iters, 4] pose of the chosen keyframe
+    iter_ts: jax.Array,  # [num_iters, 3]
+    scene_radius: jax.Array,
+    cam: Camera,
+    num_iters: int,
+    pcfg: PhaseConfig,
+    rcfg: RenderConfig,
+    prune_cfg: PruneConfig,
+    lrs: tuple,  # (lr_means, lr_rgb, lr_rot, lr_opac, lr_scales) static floats
+):
+    """Whole mapping phase for one frame in one jitted fori_loop.
+
+    Returns (updated GaussianMap, summed loss, overflow max).
+    """
+    param_tuple = (
+        gm.means3d,
+        gm.rgb_colors,
+        gm.unnorm_rotations,
+        gm.logit_opacities,
+        gm.log_scales,
+    )
+    lr_tuple = tuple(jnp.float32(lr) for lr in lrs)
+
+    def loss_fn(params, active, q, t, color, depth_gt):
+        gm_i = gm._replace(
+            means3d=params[0],
+            rgb_colors=params[1],
+            unnorm_rotations=params[2],
+            logit_opacities=params[3],
+            log_scales=params[4],
+            active=active,
+        )
+        return get_loss(gm_i, q, t, color, depth_gt, cam, pcfg, rcfg, False, True)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def body(i, carry):
+        params, active, st, loss_sum, ovf_max = carry
+        slot = iter_slots[i]
+        color = (
+            kf_colors_u8[slot].astype(jnp.float32).transpose(2, 0, 1) / 255.0
+        )
+        depth_gt = kf_depths[slot]
+        q, t = iter_qs[i], iter_ts[i]
+
+        (loss, aux), grads = grad_fn(params, active, q, t, color, depth_gt)
+        if prune_cfg.enabled:
+            active = _prune_mask(params, active, i, scene_radius, prune_cfg)
+            if prune_cfg.reset_opacities:
+                do_reset = (
+                    (i > 0)
+                    & (i % prune_cfg.reset_opacities_every == 0)
+                    & (i <= prune_cfg.stop_after)
+                )
+                inv_sig = jnp.log(0.01 / 0.99)  # inverse_sigmoid(0.01)
+                new_op = jnp.where(do_reset, jnp.full_like(params[3], inv_sig), params[3])
+                params = params[:3] + (new_op,) + params[4:]
+                st = optim.AdamState(
+                    m=jax.tree.map(
+                        lambda x: jnp.where(do_reset, jnp.zeros_like(x), x), st.m
+                    ),
+                    v=jax.tree.map(
+                        lambda x: jnp.where(do_reset, jnp.zeros_like(x), x), st.v
+                    ),
+                    step=st.step,
+                )
+        params, st = optim.adam_step(st, params, grads, lr_tuple, eps=1e-15)
+        return (
+            params,
+            active,
+            st,
+            loss_sum + loss,
+            jnp.maximum(ovf_max, aux.overflow),
+        )
+
+    st0 = optim.adam_init(param_tuple)
+    carry0 = (param_tuple, gm.active, st0, jnp.float32(0), jnp.int32(0))
+    params, active, _, loss_sum, ovf = jax.lax.fori_loop(0, num_iters, body, carry0)
+    new_gm = gm._replace(
+        means3d=params[0],
+        rgb_colors=params[1],
+        unnorm_rotations=params[2],
+        logit_opacities=params[3],
+        log_scales=params[4],
+        active=active,
+    )
+    return new_gm, loss_sum, ovf
+
+
+# ---------------------------------------------------------------------------
+# Densification (silhouette-guided unprojection into free slots)
+# ---------------------------------------------------------------------------
+
+
+def backproject_pointcloud(color, depth, fx, fy, cx, cy, c2w):
+    """Dense pixel backprojection. Parity: get_pointcloud
+    (scripts/splatam.py:67-117) — integer pixel grid, no half-pixel offset.
+
+    color [3,H,W], depth [H,W] -> pts [H*W, 3] world, cols [H*W, 3],
+    mean3_sq_dist [H*W].
+    """
+    h, w = depth.shape
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    xx = (xs.astype(jnp.float32) - cx) / fx
+    yy = (ys.astype(jnp.float32) - cy) / fy
+    z = depth.reshape(-1)
+    pts_cam = jnp.stack([xx.reshape(-1) * z, yy.reshape(-1) * z, z], axis=-1)
+    pts = pts_cam @ c2w[:3, :3].T + c2w[:3, 3]
+    cols = color.reshape(3, -1).T
+    scale_gaussian = z / ((fx + fy) / 2.0)
+    return pts, cols, scale_gaussian * scale_gaussian
+
+
+@partial(jax.jit, static_argnames=("cam", "sil_thres", "rcfg"))
+def densify_step(
+    gm: GaussianMap,
+    timestep: jax.Array,  # [CAP] f32 creation-time per gaussian
+    color: jax.Array,  # [3, H, W]
+    depth_gt: jax.Array,  # [H, W]
+    q: jax.Array,
+    t: jax.Array,
+    time_idx: jax.Array,
+    cam: Camera,
+    sil_thres: float,
+    rcfg: RenderConfig,
+):
+    """add_new_gaussians (scripts/splatam.py:378-420) as a slot scatter.
+
+    Returns (gm, timestep, n_added, n_dropped).
+    """
+    means_cam, rots_cam = transform_to_frame(gm, sg(q), sg(t), False, False)
+    out = render_rgbd_sil(
+        cam, means_cam, gm.rgb_colors, rots_cam, gm.logit_opacities,
+        gm.log_scales, gm.active, config=rcfg,
+    )
+    silhouette = out.silhouette
+    render_depth = out.depth
+
+    valid = depth_gt > 0
+    depth_error = jnp.abs(depth_gt - render_depth) * valid
+    non_presence = (silhouette < sil_thres) | (
+        (render_depth > depth_gt) & (depth_error > 50.0 * _median_lower(depth_error))
+    )
+    cand = (non_presence & valid).reshape(-1)
+
+    w2c = jnp.eye(4, dtype=jnp.float32)
+    w2c = w2c.at[:3, :3].set(build_rotation(normalize(q)[None])[0])
+    w2c = w2c.at[:3, 3].set(t)
+    c2w = jnp.linalg.inv(w2c)
+    pts, cols, mean_sq = backproject_pointcloud(
+        color, depth_gt, cam.fx, cam.fy, cam.cx, cam.cy, c2w
+    )
+
+    cap = gm.capacity
+    free = ~gm.active
+    n_free = jnp.sum(free.astype(jnp.int32))
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    slot_of_rank = jnp.zeros((cap,), jnp.int32).at[
+        jnp.where(free, free_rank, cap)
+    ].set(jnp.arange(cap, dtype=jnp.int32), mode="drop")
+
+    cand_rank = jnp.cumsum(cand.astype(jnp.int32)) - 1
+    n_cand = jnp.sum(cand.astype(jnp.int32))
+    write = cand & (cand_rank < n_free)
+    dest = jnp.where(write, slot_of_rank[jnp.clip(cand_rank, 0, cap - 1)], cap)
+
+    s = gm.log_scales.shape[1]
+    log_scale_new = 0.5 * jnp.log(jnp.maximum(mean_sq, 1e-12))
+
+    gm = gm._replace(
+        means3d=gm.means3d.at[dest].set(pts, mode="drop"),
+        rgb_colors=gm.rgb_colors.at[dest].set(cols, mode="drop"),
+        unnorm_rotations=gm.unnorm_rotations.at[dest].set(
+            jnp.broadcast_to(
+                jnp.asarray([1.0, 0, 0, 0], jnp.float32), (dest.shape[0], 4)
+            ),
+            mode="drop",
+        ),
+        logit_opacities=gm.logit_opacities.at[dest].set(
+            jnp.zeros_like(log_scale_new), mode="drop"
+        ),
+        log_scales=gm.log_scales.at[dest].set(
+            jnp.tile(log_scale_new[:, None], (1, s)), mode="drop"
+        ),
+        active=gm.active.at[dest].set(True, mode="drop"),
+    )
+    timestep = timestep.at[dest].set(time_idx.astype(jnp.float32), mode="drop")
+    n_added = jnp.minimum(n_cand, n_free)
+    return gm, timestep, n_added, n_cand - n_added
+
+
+@partial(jax.jit, static_argnames=("cam",))
+def first_frame_pointcloud(color, depth_gt, cam: Camera):
+    """Dense init cloud for frame 0 (initialize_first_timestep,
+    scripts/splatam.py:169-211): every valid-depth pixel becomes a Gaussian."""
+    c2w = jnp.eye(4, dtype=jnp.float32)  # frame-0 pose is identity
+    pts, cols, mean_sq = backproject_pointcloud(
+        color, depth_gt, cam.fx, cam.fy, cam.cx, cam.cy, c2w
+    )
+    valid = (depth_gt > 0).reshape(-1)
+    return pts, cols, mean_sq, valid
