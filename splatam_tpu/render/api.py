@@ -91,6 +91,7 @@ def render_gaussians(
     config: RenderConfig = RenderConfig(),
     means2d_dummy: jax.Array | None = None,
     append_depth_channels: bool = True,
+    intrinsics_override: tuple | None = None,
 ):
     """Differentiable render of arbitrary per-Gaussian color channels.
 
@@ -109,9 +110,15 @@ def render_gaussians(
     quats = normalize(unnorm_rotations)
     logit_op = logit_opacities.reshape(n)
 
+    if intrinsics_override is not None:
+        # Traced intrinsics (e.g. per-shard cy under SPMD row sharding);
+        # height/width stay static from `cam`.
+        fx, fy, cx, cy = intrinsics_override
+    else:
+        fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
     proj, aux = projection_mod.project(
         means3d, quats, logit_op, scales, active, cam.w2c_array(),
-        cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height,
+        fx, fy, cx, cy, cam.width, cam.height,
     )
 
     chans = [colors]

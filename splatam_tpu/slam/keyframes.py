@@ -42,12 +42,16 @@ def keyframe_selection_overlap(
     rng: np.random.Generator | None = None,
 ) -> list:
     """Returns indices into keyframe_w2cs of up to k overlapping keyframes."""
-    rng = rng or np.random.default_rng()
+    rng = rng if rng is not None else np.random.default_rng()
     height, width = depth.shape
     valid = np.argwhere(depth > 0)
     if len(valid) == 0 or len(keyframe_w2cs) == 0:
         return []
-    sampled = valid[rng.integers(0, len(valid), size=pixels)]
+    if hasattr(rng, "integers"):
+        idx = rng.integers(0, len(valid), size=pixels)
+    else:  # legacy np.random module (global seeded RNG, reference-style)
+        idx = rng.randint(0, len(valid), size=pixels)
+    sampled = valid[idx]
     pts = _backproject_sampled(depth, intrinsics, w2c, sampled)
     if len(pts) == 0:
         return []

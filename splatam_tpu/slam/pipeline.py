@@ -1,0 +1,518 @@
+"""Online RGB-D SLAM pipeline: per-frame track -> densify -> map.
+
+Host-side orchestration of the jitted phase programs in slam/steps.py.
+Parity target: scripts/splatam.py:455-990 (rgbd_slam), with the TPU-native
+re-architecture documented in SURVEY.md section 7:
+  * fixed-capacity masked Gaussian buffers (grow-on-demand, rare recompile)
+  * one device dispatch per phase (whole optimization loops inside jit)
+  * device-resident keyframe store (uint8 color + f32 depth), sampled by
+    slot index inside the mapping program
+  * camera trajectory kept host-side as numpy [F,4]/[F,3] arrays
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from splatam_tpu.core import gaussians as G
+from splatam_tpu.core.camera import Camera, setup_camera
+from splatam_tpu.core.transforms import build_rotation, matrix_to_quaternion, normalize
+from splatam_tpu.data import get_dataset, load_dataset_config
+from splatam_tpu.eval.evaluate import eval_sequence
+from splatam_tpu.io.params_io import save_params, save_params_ckpt
+from splatam_tpu.render.api import RenderConfig
+from splatam_tpu.slam import steps
+from splatam_tpu.slam.config import backfill_defaults
+from splatam_tpu.slam.keyframes import keyframe_selection_overlap
+
+
+def _phase_cfg(section: dict) -> steps.PhaseConfig:
+    return steps.PhaseConfig(
+        use_sil_for_loss=section["use_sil_for_loss"],
+        sil_thres=section["sil_thres"],
+        use_l1=section["use_l1"],
+        ignore_outlier_depth_loss=section["ignore_outlier_depth_loss"],
+        w_im=section["loss_weights"]["im"],
+        w_depth=section["loss_weights"]["depth"],
+    )
+
+
+def _prune_cfg(mapping: dict) -> steps.PruneConfig:
+    if not mapping.get("prune_gaussians", False):
+        return steps.PruneConfig(enabled=False)
+    d = mapping["pruning_dict"]
+    return steps.PruneConfig(
+        enabled=True,
+        start_after=d["start_after"],
+        remove_big_after=d["remove_big_after"],
+        stop_after=d["stop_after"],
+        prune_every=d["prune_every"],
+        removal_opacity_threshold=d["removal_opacity_threshold"],
+        final_removal_opacity_threshold=d["final_removal_opacity_threshold"],
+        reset_opacities=d["reset_opacities"],
+        reset_opacities_every=d["reset_opacities_every"],
+    )
+
+
+def _w2c_from_qt(q: np.ndarray, t: np.ndarray) -> np.ndarray:
+    w2c = np.eye(4, dtype=np.float32)
+    qn = q / np.linalg.norm(q)
+    w2c[:3, :3] = np.asarray(build_rotation(jnp.asarray(qn)[None]))[0]
+    w2c[:3, 3] = t
+    return w2c
+
+
+def _quat_from_w2c(w2c: np.ndarray) -> np.ndarray:
+    return np.asarray(matrix_to_quaternion(jnp.asarray(w2c[:3, :3], jnp.float32)))
+
+
+def _frame_to_device(color_np, depth_np):
+    color = jnp.asarray(color_np.transpose(2, 0, 1) / 255.0, jnp.float32)
+    depth = jnp.asarray(depth_np[..., 0], jnp.float32)
+    return color, depth
+
+
+def _make_datasets(config):
+    dataset_config = config["data"]
+    if "gradslam_data_cfg" not in dataset_config:
+        gradslam_data_cfg = {"dataset_name": dataset_config["dataset_name"]}
+    else:
+        gradslam_data_cfg = load_dataset_config(dataset_config["gradslam_data_cfg"])
+    if "synthetic" in gradslam_data_cfg.get("dataset_name", "").lower():
+        gradslam_data_cfg.setdefault("num_frames", dataset_config.get("num_frames", 30))
+
+    def make(h, w):
+        return get_dataset(
+            config_dict=gradslam_data_cfg,
+            basedir=dataset_config.get("basedir", ""),
+            sequence=os.path.basename(str(dataset_config.get("sequence", ""))),
+            start=dataset_config.get("start", 0),
+            end=dataset_config.get("end", -1),
+            stride=dataset_config.get("stride", 1),
+            desired_height=h,
+            desired_width=w,
+            relative_pose=True,
+            ignore_bad=dataset_config["ignore_bad"],
+            use_train_split=dataset_config["use_train_split"],
+        )
+
+    dataset = make(
+        dataset_config["desired_image_height"], dataset_config["desired_image_width"]
+    )
+    densify_dataset = None
+    if (
+        dataset_config["densification_image_height"] != dataset_config["desired_image_height"]
+        or dataset_config["densification_image_width"] != dataset_config["desired_image_width"]
+    ):
+        densify_dataset = make(
+            dataset_config["densification_image_height"],
+            dataset_config["densification_image_width"],
+        )
+    tracking_dataset = None
+    if (
+        dataset_config["tracking_image_height"] != dataset_config["desired_image_height"]
+        or dataset_config["tracking_image_width"] != dataset_config["desired_image_width"]
+    ):
+        tracking_dataset = make(
+            dataset_config["tracking_image_height"],
+            dataset_config["tracking_image_width"],
+        )
+    return dataset, densify_dataset, tracking_dataset
+
+
+class SLAMRuntime:
+    """Mutable host state for one SLAM run (useful for the live demo too)."""
+
+    def __init__(self, config: dict):
+        self.config = config = backfill_defaults(config)
+        self.output_dir = os.path.join(config["workdir"], config["run_name"])
+        self.eval_dir = os.path.join(self.output_dir, "eval")
+        os.makedirs(self.eval_dir, exist_ok=True)
+
+        self.dataset, self.densify_dataset, self.tracking_dataset = _make_datasets(config)
+        num_frames = config["data"].get("num_frames", -1)
+        if num_frames == -1:
+            num_frames = len(self.dataset)
+        self.num_frames = num_frames
+
+        tpu = config["tpu"]
+        self.rcfg = RenderConfig(
+            backend=tpu["backend"], pair_cap=tpu["pair_cap"], tile_k_max=tpu["tile_k_max"]
+        )
+        self.pcfg_track = _phase_cfg(config["tracking"])
+        self.pcfg_map = _phase_cfg(config["mapping"])
+        self.prune_cfg = _prune_cfg(config["mapping"])
+        self.isotropic = config["gaussian_distribution"] == "isotropic"
+
+        # ---- First frame / cameras -------------------------------------
+        color_np, depth_np, intrinsics_np, pose_np = self.dataset[0]
+        self.intrinsics = intrinsics_np[:3, :3]
+        self.first_frame_w2c = np.linalg.inv(pose_np)
+        h, w = color_np.shape[0], color_np.shape[1]
+        self.cam = setup_camera(w, h, self.intrinsics, None)
+
+        if self.densify_dataset is not None:
+            d_color, d_depth, d_intr, _ = self.densify_dataset[0]
+            self.densify_intrinsics = d_intr[:3, :3]
+            self.densify_cam = setup_camera(
+                d_color.shape[1], d_color.shape[0], self.densify_intrinsics, None
+            )
+            init_color, init_depth = d_color, d_depth
+        else:
+            self.densify_intrinsics = self.intrinsics
+            self.densify_cam = self.cam
+            init_color, init_depth = color_np, depth_np
+
+        if self.tracking_dataset is not None:
+            t_color, _, t_intr, _ = self.tracking_dataset[0]
+            self.tracking_cam = setup_camera(
+                t_color.shape[1], t_color.shape[0], t_intr[:3, :3], None
+            )
+        else:
+            self.tracking_cam = self.cam
+
+        # ---- Gaussian map init -----------------------------------------
+        capacity = int(tpu["capacity"])
+        init_c, init_d = _frame_to_device(init_color, init_depth)
+        pts, cols, mean_sq, valid = steps.first_frame_pointcloud(
+            init_c, init_d, self.densify_cam
+        )
+        while capacity < pts.shape[0]:
+            capacity *= 2
+        self.gm = G.from_pointcloud(pts, cols, mean_sq, valid, capacity, self.isotropic)
+        self.timestep = jnp.zeros((capacity,), jnp.float32)
+        self.scene_radius = jnp.float32(
+            float(init_depth.max()) / config["scene_radius_depth_ratio"]
+        )
+
+        # ---- Camera trajectory (host) ----------------------------------
+        self.cam_rots = np.tile(
+            np.array([1, 0, 0, 0], np.float32), (num_frames, 1)
+        )
+        self.cam_trans = np.zeros((num_frames, 3), np.float32)
+
+        # ---- Keyframe store (device) -----------------------------------
+        kf_cap = num_frames // max(config["keyframe_every"], 1) + 3
+        self.kf_colors = jnp.zeros((kf_cap, h, w, 3), jnp.uint8)
+        self.kf_depths = jnp.zeros((kf_cap, h, w), jnp.float32)
+        self.kf_scratch_slot = kf_cap - 1
+        self.keyframe_list = []  # dicts: id, slot, q, t
+        self.keyframe_time_indices = []
+
+        self.gt_w2c_all = []
+        self.stats = {
+            "tracking_iter_time_sum": 0.0,
+            "tracking_iter_time_count": 0,
+            "tracking_frame_time_sum": 0.0,
+            "tracking_frame_time_count": 0,
+            "mapping_iter_time_sum": 0.0,
+            "mapping_iter_time_count": 0,
+            "mapping_frame_time_sum": 0.0,
+            "mapping_frame_time_count": 0,
+        }
+
+    # -------------------------------------------------------------------
+    def _grow(self, new_capacity: int):
+        self.gm = G.grow_capacity(self.gm, new_capacity)
+        pad = new_capacity - self.timestep.shape[0]
+        self.timestep = jnp.concatenate(
+            [self.timestep, jnp.zeros((pad,), jnp.float32)]
+        )
+        print(f"[splatam-tpu] grew gaussian capacity to {new_capacity}")
+
+    def _stage_keyframe(self, slot: int, color_np: np.ndarray, depth_np: np.ndarray):
+        self.kf_colors = self.kf_colors.at[slot].set(
+            jnp.asarray(np.clip(color_np, 0, 255).astype(np.uint8))
+        )
+        self.kf_depths = self.kf_depths.at[slot].set(
+            jnp.asarray(depth_np[..., 0], jnp.float32)
+        )
+
+    # -------------------------------------------------------------------
+    def track_frame(self, time_idx: int, tr_color, tr_depth) -> None:
+        cfg_t = self.config["tracking"]
+        q0 = jnp.asarray(self.cam_rots[time_idx])
+        t0 = jnp.asarray(self.cam_trans[time_idx])
+        best_q, best_t, iters, _loss, ovf = steps.tracking_phase(
+            self.gm,
+            q0,
+            t0,
+            tr_color,
+            tr_depth,
+            self.tracking_cam,
+            int(cfg_t["num_iters"]),
+            bool(cfg_t["use_depth_loss_thres"]),
+            float(cfg_t["depth_loss_thres"]),
+            float(cfg_t["lrs"]["cam_unnorm_rots"]),
+            float(cfg_t["lrs"]["cam_trans"]),
+            self.pcfg_track,
+            self.rcfg,
+        )
+        best_q.block_until_ready()
+        self.cam_rots[time_idx] = np.asarray(best_q)
+        self.cam_trans[time_idx] = np.asarray(best_t)
+        self._iters_run = int(iters)
+        if int(ovf) > 0:
+            print(f"[splatam-tpu] WARNING: pair buffer overflow ({int(ovf)}) in tracking")
+
+    def densify_frame(self, time_idx: int, d_color, d_depth) -> None:
+        q = jnp.asarray(self.cam_rots[time_idx])
+        t = jnp.asarray(self.cam_trans[time_idx])
+        while True:
+            gm2, ts2, n_added, n_dropped, ovf = steps.densify_step(
+                self.gm,
+                self.timestep,
+                d_color,
+                d_depth,
+                q,
+                t,
+                jnp.int32(time_idx),
+                self.densify_cam,
+                float(self.config["mapping"]["sil_thres"]),
+                self.rcfg,
+            )
+            if int(n_dropped) > 0:
+                need = self.gm.capacity + int(n_dropped)
+                new_cap = self.gm.capacity
+                while new_cap < need:
+                    new_cap *= 2
+                self._grow(new_cap)
+                continue
+            break
+        self.gm, self.timestep = gm2, ts2
+        if int(ovf) > 0:
+            print(f"[splatam-tpu] WARNING: pair buffer overflow ({int(ovf)}) in densify")
+
+    def select_keyframes(self, time_idx: int, depth_np: np.ndarray) -> list:
+        """Returns the reference's selected_keyframes list (kf indices, -1 =
+        current frame). Parity: scripts/splatam.py:800-819."""
+        curr_w2c = _w2c_from_qt(self.cam_rots[time_idx], self.cam_trans[time_idx])
+        num_keyframes = self.config["mapping_window_size"] - 2
+        kf_w2cs = [
+            _w2c_from_qt(kf["q"], kf["t"]) for kf in self.keyframe_list[:-1]
+        ]
+        selected = keyframe_selection_overlap(
+            depth_np[..., 0], curr_w2c, self.intrinsics, kf_w2cs, num_keyframes,
+            rng=np.random,
+        )
+        selected_time_idx = [self.keyframe_list[i]["id"] for i in selected]
+        if len(self.keyframe_list) > 0:
+            selected_time_idx.append(self.keyframe_list[-1]["id"])
+            selected.append(len(self.keyframe_list) - 1)
+        selected_time_idx.append(time_idx)
+        selected.append(-1)
+        print(f"\nSelected Keyframes at Frame {time_idx}: {selected_time_idx}")
+        return selected
+
+    def map_frame(self, time_idx: int, selected: list) -> None:
+        cfg_m = self.config["mapping"]
+        num_iters = int(cfg_m["num_iters"])
+        if num_iters == 0:
+            return
+        if cfg_m.get("use_gaussian_splatting_densification", False):
+            raise NotImplementedError(
+                "3DGS gradient densification during mapping is not wired into "
+                "the jitted mapping loop yet (use the offline trainer)."
+            )
+
+        slots, qs, ts = [], [], []
+        for _ in range(num_iters):
+            rand_idx = np.random.randint(0, len(selected))
+            sel = selected[rand_idx]
+            if sel == -1:
+                frame_id = time_idx
+                slots.append(self.kf_scratch_slot)
+            else:
+                frame_id = self.keyframe_list[sel]["id"]
+                slots.append(self.keyframe_list[sel]["slot"])
+            qs.append(self.cam_rots[frame_id])
+            ts.append(self.cam_trans[frame_id])
+
+        lrs = cfg_m["lrs"]
+        gm2, loss_sum, ovf = steps.mapping_phase(
+            self.gm,
+            self.kf_colors,
+            self.kf_depths,
+            jnp.asarray(np.array(slots, np.int32)),
+            jnp.asarray(np.stack(qs)),
+            jnp.asarray(np.stack(ts)),
+            self.scene_radius,
+            self.cam,
+            num_iters,
+            self.pcfg_map,
+            self.rcfg,
+            self.prune_cfg,
+            (
+                float(lrs["means3D"]),
+                float(lrs["rgb_colors"]),
+                float(lrs["unnorm_rotations"]),
+                float(lrs["logit_opacities"]),
+                float(lrs["log_scales"]),
+            ),
+        )
+        gm2.means3d.block_until_ready()
+        self.gm = gm2
+        if int(ovf) > 0:
+            print(f"[splatam-tpu] WARNING: pair buffer overflow ({int(ovf)}) in mapping")
+
+    # -------------------------------------------------------------------
+    def export_params(self) -> dict:
+        """Build the reference-schema params dict for saving/eval."""
+        params = G.compact_to_numpy(self.gm)
+        active = np.asarray(self.gm.active)
+        params["timestep"] = np.asarray(self.timestep)[active]
+        params["cam_unnorm_rots"] = self.cam_rots.T[None]  # [1,4,F]
+        params["cam_trans"] = self.cam_trans.T[None]  # [1,3,F]
+        params["intrinsics"] = np.asarray(self.intrinsics)
+        params["w2c"] = np.asarray(self.first_frame_w2c)
+        params["org_width"] = self.config["data"]["desired_image_width"]
+        params["org_height"] = self.config["data"]["desired_image_height"]
+        if self.gt_w2c_all:
+            params["gt_w2c_all_frames"] = np.stack(self.gt_w2c_all)
+        params["keyframe_time_indices"] = np.array(self.keyframe_time_indices)
+        return params
+
+
+def rgbd_slam(config: dict) -> dict:
+    """Run the full online SLAM; returns the final eval metric dict."""
+    print("Loaded Config:")
+    print(f"{config}")
+    rt = SLAMRuntime(config)
+    config = rt.config
+    use_gt_poses = config["tracking"]["use_gt_poses"]
+    forward_prop = config["tracking"]["forward_prop"]
+    map_every = config["map_every"]
+    keyframe_every = config["keyframe_every"]
+    stats = rt.stats
+
+    from tqdm import tqdm
+
+    for time_idx in tqdm(range(rt.num_frames)):
+        color_np, depth_np, _, gt_pose = rt.dataset[time_idx]
+        gt_w2c = np.linalg.inv(gt_pose)
+        rt.gt_w2c_all.append(gt_w2c)
+        color, depth = _frame_to_device(color_np, depth_np)
+
+        if rt.tracking_dataset is not None:
+            t_color_np, t_depth_np, _, _ = rt.tracking_dataset[time_idx]
+            tr_color, tr_depth = _frame_to_device(t_color_np, t_depth_np)
+        else:
+            tr_color, tr_depth = color, depth
+
+        # Constant-velocity pose init (scripts/splatam.py:423-442).
+        if time_idx > 0:
+            if time_idx > 1 and forward_prop:
+                prev1 = rt.cam_rots[time_idx - 1]
+                prev2 = rt.cam_rots[time_idx - 2]
+                prev1 = prev1 / np.linalg.norm(prev1)
+                prev2 = prev2 / np.linalg.norm(prev2)
+                new_rot = prev1 + (prev1 - prev2)
+                rt.cam_rots[time_idx] = new_rot / np.linalg.norm(new_rot)
+                rt.cam_trans[time_idx] = rt.cam_trans[time_idx - 1] + (
+                    rt.cam_trans[time_idx - 1] - rt.cam_trans[time_idx - 2]
+                )
+            else:
+                rt.cam_rots[time_idx] = rt.cam_rots[time_idx - 1]
+                rt.cam_trans[time_idx] = rt.cam_trans[time_idx - 1]
+
+        # ---- Tracking --------------------------------------------------
+        tracking_start = time.time()
+        if time_idx > 0 and not use_gt_poses:
+            rt.track_frame(time_idx, tr_color, tr_depth)
+            stats["tracking_iter_time_count"] += rt._iters_run
+            stats["tracking_frame_time_count"] += 1
+        elif time_idx > 0 and use_gt_poses:
+            rt.cam_rots[time_idx] = _quat_from_w2c(gt_w2c)
+            rt.cam_trans[time_idx] = gt_w2c[:3, 3]
+            stats["tracking_frame_time_count"] += 1
+        tracking_time = time.time() - tracking_start
+        stats["tracking_frame_time_sum"] += tracking_time
+        if time_idx > 0 and not use_gt_poses:
+            stats["tracking_iter_time_sum"] += tracking_time
+
+        # ---- Densification + Mapping ----------------------------------
+        if time_idx == 0 or (time_idx + 1) % map_every == 0:
+            if config["mapping"]["add_new_gaussians"] and time_idx > 0:
+                if rt.densify_dataset is not None:
+                    d_color_np, d_depth_np, _, _ = rt.densify_dataset[time_idx]
+                    d_color, d_depth = _frame_to_device(d_color_np, d_depth_np)
+                else:
+                    d_color, d_depth = color, depth
+                rt.densify_frame(time_idx, d_color, d_depth)
+
+            selected = rt.select_keyframes(time_idx, depth_np)
+            rt._stage_keyframe(rt.kf_scratch_slot, color_np, depth_np)
+
+            mapping_start = time.time()
+            rt.map_frame(time_idx, selected)
+            mapping_time = time.time() - mapping_start
+            stats["mapping_frame_time_sum"] += mapping_time
+            stats["mapping_frame_time_count"] += 1
+            stats["mapping_iter_time_sum"] += mapping_time
+            stats["mapping_iter_time_count"] += int(config["mapping"]["num_iters"])
+
+        # ---- Keyframing (scripts/splatam.py:911-925) -------------------
+        if (
+            (time_idx == 0)
+            or ((time_idx + 1) % keyframe_every == 0)
+            or (time_idx == rt.num_frames - 2)
+        ) and (not np.isinf(gt_w2c).any()) and (not np.isnan(gt_w2c).any()):
+            slot = len(rt.keyframe_list)
+            if slot < rt.kf_scratch_slot:
+                rt._stage_keyframe(slot, color_np, depth_np)
+                rt.keyframe_list.append(
+                    {
+                        "id": time_idx,
+                        "slot": slot,
+                        "q": rt.cam_rots[time_idx].copy(),
+                        "t": rt.cam_trans[time_idx].copy(),
+                    }
+                )
+                rt.keyframe_time_indices.append(time_idx)
+
+        if (
+            time_idx % config["checkpoint_interval"] == 0
+            and config["save_checkpoints"]
+        ):
+            save_params_ckpt(rt.export_params(), rt.output_dir, time_idx)
+            np.save(
+                os.path.join(rt.output_dir, f"keyframe_time_indices{time_idx}.npy"),
+                np.array(rt.keyframe_time_indices),
+            )
+
+    # ---- Runtime averages (scripts/splatam.py:939-953) -----------------
+    s = stats
+    tic = max(s["tracking_iter_time_count"], 1)
+    tfc = max(s["tracking_frame_time_count"], 1)
+    mic = max(s["mapping_iter_time_count"], 1)
+    mfc = max(s["mapping_frame_time_count"], 1)
+    print(f"\nAverage Tracking/Iteration Time: {s['tracking_iter_time_sum'] / tic * 1000} ms")
+    print(f"Average Tracking/Frame Time: {s['tracking_frame_time_sum'] / tfc} s")
+    print(f"Average Mapping/Iteration Time: {s['mapping_iter_time_sum'] / mic * 1000} ms")
+    print(f"Average Mapping/Frame Time: {s['mapping_frame_time_sum'] / mfc} s")
+
+    # ---- Final eval + params.npz --------------------------------------
+    final_params = rt.export_params()
+    metrics = eval_sequence(
+        rt.dataset,
+        final_params,
+        rt.num_frames,
+        rt.eval_dir,
+        sil_thres=config["mapping"]["sil_thres"],
+        mapping_iters=config["mapping"]["num_iters"],
+        add_new_gaussians=config["mapping"]["add_new_gaussians"],
+        eval_every=config["eval_every"],
+        rcfg=rt.rcfg,
+    )
+    save_params(final_params, rt.output_dir)
+    metrics["runtime"] = {
+        "tracking_iter_ms": s["tracking_iter_time_sum"] / tic * 1000,
+        "tracking_frame_s": s["tracking_frame_time_sum"] / tfc,
+        "mapping_iter_ms": s["mapping_iter_time_sum"] / mic * 1000,
+        "mapping_frame_s": s["mapping_frame_time_sum"] / mfc,
+    }
+    return metrics

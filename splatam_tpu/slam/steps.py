@@ -212,8 +212,9 @@ def tracking_phase(
         return it < limit
 
     def body(carry):
-        it, limit, qt, st, best_q, best_t, min_loss = carry
+        it, limit, qt, st, best_q, best_t, min_loss, ovf = carry
         (loss, aux), grads = grad_fn(qt)
+        ovf = jnp.maximum(ovf, aux.overflow)
         qt, st = optim.adam_step(st, qt, grads, lrs, eps=1e-8)
         better = loss < min_loss
         best_q = jnp.where(better, qt[0], best_q)
@@ -226,7 +227,7 @@ def tracking_phase(
             at_check = (it + 1 == num_iters) & (limit == num_iters)
             under = aux.weighted_depth_loss < depth_loss_thres
             limit = jnp.where(at_check & ~under, 2 * num_iters, limit)
-        return (it + 1, limit, qt, st, best_q, best_t, min_loss)
+        return (it + 1, limit, qt, st, best_q, best_t, min_loss, ovf)
 
     st0 = optim.adam_init((q0, t0))
     carry0 = (
@@ -237,9 +238,10 @@ def tracking_phase(
         q0,
         t0,
         jnp.float32(1e20),
+        jnp.int32(0),
     )
-    it, _, _, _, best_q, best_t, min_loss = jax.lax.while_loop(cond, body, carry0)
-    return best_q, best_t, it, min_loss
+    it, _, _, _, best_q, best_t, min_loss, ovf = jax.lax.while_loop(cond, body, carry0)
+    return best_q, best_t, it, min_loss, ovf
 
 
 # ---------------------------------------------------------------------------
@@ -477,7 +479,7 @@ def densify_step(
     )
     timestep = timestep.at[dest].set(time_idx.astype(jnp.float32), mode="drop")
     n_added = jnp.minimum(n_cand, n_free)
-    return gm, timestep, n_added, n_cand - n_added
+    return gm, timestep, n_added, n_cand - n_added, out.overflow
 
 
 @partial(jax.jit, static_argnames=("cam",))

@@ -1,0 +1,66 @@
+"""End-to-end SLAM integration tests on the synthetic box-room sequence."""
+import copy
+import os
+
+import numpy as np
+import pytest
+
+from splatam_tpu.slam.config import load_experiment_config, seed_everything
+
+CONFIG_PATH = os.path.join(os.path.dirname(__file__), "..", "configs", "synthetic", "splatam.py")
+
+
+def small_config(tmp_path, **overrides):
+    config = copy.deepcopy(load_experiment_config(CONFIG_PATH))
+    config["workdir"] = str(tmp_path)
+    config["data"]["desired_image_height"] = 48
+    config["data"]["desired_image_width"] = 64
+    config["data"]["num_frames"] = 6
+    config["tracking"]["num_iters"] = 8
+    config["mapping"]["num_iters"] = 10
+    config["mapping_window_size"] = 5
+    config["keyframe_every"] = 2
+    config["tpu"] = dict(capacity=1 << 13, pair_cap=1 << 15, tile_k_max=2048, backend="tiles")
+    for k, v in overrides.items():
+        if isinstance(v, dict):
+            config[k].update(v)
+        else:
+            config[k] = v
+    return config
+
+
+@pytest.mark.slow
+def test_slam_gt_poses(tmp_path):
+    """Mapping-only run with ground-truth poses must reconstruct the scene."""
+    from splatam_tpu.slam.pipeline import rgbd_slam
+
+    seed_everything(0)
+    config = small_config(tmp_path, tracking={"use_gt_poses": True})
+    metrics = rgbd_slam(config)
+    assert metrics["psnr"] > 25.0, metrics
+    assert metrics["depth_l1"] < 0.08, metrics
+    assert metrics["ate_rmse"] < 1e-5, metrics  # gt poses written verbatim
+    # params.npz artifact must exist with the reference schema
+    out = os.path.join(config["workdir"], config["run_name"], "params.npz")
+    assert os.path.exists(out)
+    params = dict(np.load(out))
+    for key in [
+        "means3D", "rgb_colors", "unnorm_rotations", "logit_opacities",
+        "log_scales", "cam_unnorm_rots", "cam_trans", "timestep",
+        "intrinsics", "w2c", "gt_w2c_all_frames", "keyframe_time_indices",
+    ]:
+        assert key in params, key
+    assert params["means3D"].shape[0] == params["timestep"].shape[0]
+
+
+@pytest.mark.slow
+def test_slam_full_tracking(tmp_path):
+    """Full tracking+mapping: trajectory error should stay small on the
+    gentle synthetic motion."""
+    from splatam_tpu.slam.pipeline import rgbd_slam
+
+    seed_everything(0)
+    config = small_config(tmp_path)
+    metrics = rgbd_slam(config)
+    assert metrics["psnr"] > 18.0, metrics
+    assert metrics["ate_rmse"] < 0.05, metrics  # < 5 cm on a ~1 m trajectory
