@@ -1,0 +1,123 @@
+"""Benchmark: per-frame track+map wall-clock on a Replica-scale workload.
+
+Runs the full online SLAM loop (tracking 40 iters + densify + mapping 60
+iters per frame, Replica defaults from configs/replica/splatam.py:12-16) on
+the procedural synthetic sequence at a Replica-like resolution, on whatever
+accelerator JAX finds (the driver runs this on a real TPU chip).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline compares our per-frame track+map seconds against the reference
+SplaTAM's ~2.5 s/frame on Replica-class GPUs (paper-era RTX 3080 Ti /
+A100-class runs; see BASELINE.md — the repo itself publishes no numbers).
+vs_baseline > 1 means faster than the reference.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_FRAME_SECONDS = 2.5  # reference per-frame track+map (BASELINE.md)
+
+
+def main():
+    os.environ.setdefault("SPLATAM_BENCH", "1")
+    import numpy as np
+
+    from splatam_tpu.slam.config import load_experiment_config, seed_everything
+    from splatam_tpu.slam.pipeline import SLAMRuntime, rgbd_slam
+
+    height = int(os.environ.get("BENCH_H", 340))
+    width = int(os.environ.get("BENCH_W", 600))
+    frames = int(os.environ.get("BENCH_FRAMES", 12))
+    warmup = int(os.environ.get("BENCH_WARMUP", 3))
+
+    cfg_path = os.path.join(os.path.dirname(__file__), "configs", "synthetic", "splatam.py")
+    config = load_experiment_config(cfg_path)
+    config["workdir"] = "/tmp/splatam_bench"
+    config["data"]["desired_image_height"] = height
+    config["data"]["desired_image_width"] = width
+    config["data"]["num_frames"] = frames
+    config["tracking"]["num_iters"] = 40
+    config["mapping"]["num_iters"] = 60
+    config["mapping_window_size"] = 24
+    config["keyframe_every"] = 5
+    config["tpu"] = dict(
+        capacity=1 << 19,
+        pair_cap=1 << 20,
+        tile_k_max=int(os.environ.get("BENCH_TILE_K", 4096)),
+        backend=os.environ.get("BENCH_BACKEND", "auto"),
+    )
+    seed_everything(0)
+
+    import jax
+
+    print(f"backend: {jax.default_backend()}, devices: {jax.devices()}", file=sys.stderr)
+
+    # Run the pipeline manually so we can time steady-state frames.
+    import jax.numpy as jnp
+    from splatam_tpu.slam.pipeline import _frame_to_device
+
+    rt = SLAMRuntime(config)
+    frame_times = []
+    for time_idx in range(rt.num_frames):
+        color_np, depth_np, _, gt_pose = rt.dataset[time_idx]
+        gt_w2c = np.linalg.inv(gt_pose)
+        rt.gt_w2c_all.append(gt_w2c)
+        color, depth = _frame_to_device(color_np, depth_np)
+
+        if time_idx > 0:
+            if time_idx > 1:
+                p1 = rt.cam_rots[time_idx - 1] / np.linalg.norm(rt.cam_rots[time_idx - 1])
+                p2 = rt.cam_rots[time_idx - 2] / np.linalg.norm(rt.cam_rots[time_idx - 2])
+                nr = p1 + (p1 - p2)
+                rt.cam_rots[time_idx] = nr / np.linalg.norm(nr)
+                rt.cam_trans[time_idx] = rt.cam_trans[time_idx - 1] + (
+                    rt.cam_trans[time_idx - 1] - rt.cam_trans[time_idx - 2]
+                )
+            else:
+                rt.cam_rots[time_idx] = rt.cam_rots[time_idx - 1]
+                rt.cam_trans[time_idx] = rt.cam_trans[time_idx - 1]
+
+        t0 = time.time()
+        rt.compact()
+        if time_idx > 0:
+            rt.track_frame(time_idx, color, depth)
+            rt.densify_frame(time_idx, color, depth)
+        selected = rt.select_keyframes(time_idx, depth_np)
+        rt._stage_keyframe(rt.kf_scratch_slot, color_np, depth_np)
+        rt.map_frame(time_idx, selected)
+        rt.gm.means3d.block_until_ready()
+        dt = time.time() - t0
+
+        if (time_idx == 0) or ((time_idx + 1) % config["keyframe_every"] == 0):
+            slot = len(rt.keyframe_list)
+            rt._stage_keyframe(slot, color_np, depth_np)
+            rt.keyframe_list.append(
+                {"id": time_idx, "slot": slot,
+                 "q": rt.cam_rots[time_idx].copy(), "t": rt.cam_trans[time_idx].copy()}
+            )
+            rt.keyframe_time_indices.append(time_idx)
+
+        print(f"frame {time_idx}: {dt:.3f}s  (n_gauss={int(rt.gm.num_active())})",
+              file=sys.stderr)
+        if time_idx >= warmup:
+            frame_times.append(dt)
+
+    per_frame = float(np.mean(frame_times))
+    result = {
+        "metric": f"per-frame track+map seconds (synthetic {width}x{height}, 40 track + 60 map iters)",
+        "value": round(per_frame, 4),
+        "unit": "s/frame",
+        "vs_baseline": round(REFERENCE_FRAME_SECONDS / per_frame, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

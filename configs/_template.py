@@ -1,0 +1,145 @@
+"""Shared experiment-config template.
+
+The reference ships ~25 near-identical 130-line python config dicts
+(configs/*/splatam.py); here a single factory carries the common structure
+and each dataset config overrides only what differs. Values mirror the
+reference configs exactly (cited per file).
+"""
+import copy
+
+
+def make_config(
+    *,
+    workdir,
+    run_name,
+    seed=0,
+    map_every=1,
+    keyframe_every=5,
+    mapping_window_size=24,
+    tracking_iters=40,
+    mapping_iters=60,
+    eval_every=5,
+    report_global_progress_every=500,
+    scene_radius_depth_ratio=3,
+    gaussian_distribution="isotropic",
+    checkpoint_interval=100,
+    data=None,
+    tracking=None,
+    mapping=None,
+    viz=None,
+    tpu=None,
+):
+    config = dict(
+        workdir=workdir,
+        run_name=run_name,
+        seed=seed,
+        primary_device="tpu:0",
+        map_every=map_every,
+        keyframe_every=keyframe_every,
+        mapping_window_size=mapping_window_size,
+        report_global_progress_every=report_global_progress_every,
+        eval_every=eval_every,
+        scene_radius_depth_ratio=scene_radius_depth_ratio,
+        mean_sq_dist_method="projective",
+        gaussian_distribution=gaussian_distribution,
+        report_iter_progress=False,
+        load_checkpoint=False,
+        checkpoint_time_idx=0,
+        save_checkpoints=False,
+        checkpoint_interval=checkpoint_interval,
+        use_wandb=False,
+        data=dict(
+            start=0,
+            end=-1,
+            stride=1,
+            num_frames=-1,
+        ),
+        tracking=dict(
+            use_gt_poses=False,
+            forward_prop=True,
+            num_iters=tracking_iters,
+            use_sil_for_loss=True,
+            sil_thres=0.99,
+            use_l1=True,
+            ignore_outlier_depth_loss=False,
+            loss_weights=dict(im=0.5, depth=1.0),
+            lrs=dict(
+                means3D=0.0,
+                rgb_colors=0.0,
+                unnorm_rotations=0.0,
+                logit_opacities=0.0,
+                log_scales=0.0,
+                cam_unnorm_rots=0.0004,
+                cam_trans=0.002,
+            ),
+        ),
+        mapping=dict(
+            num_iters=mapping_iters,
+            add_new_gaussians=True,
+            sil_thres=0.5,
+            use_l1=True,
+            use_sil_for_loss=False,
+            ignore_outlier_depth_loss=False,
+            loss_weights=dict(im=0.5, depth=1.0),
+            lrs=dict(
+                means3D=0.0001,
+                rgb_colors=0.0025,
+                unnorm_rotations=0.001,
+                logit_opacities=0.05,
+                log_scales=0.001,
+                cam_unnorm_rots=0.0000,
+                cam_trans=0.0000,
+            ),
+            prune_gaussians=True,
+            pruning_dict=dict(
+                start_after=0,
+                remove_big_after=0,
+                stop_after=20,
+                prune_every=20,
+                removal_opacity_threshold=0.005,
+                final_removal_opacity_threshold=0.005,
+                reset_opacities=False,
+                reset_opacities_every=500,
+            ),
+            use_gaussian_splatting_densification=False,
+            densify_dict=dict(
+                start_after=500,
+                remove_big_after=3000,
+                stop_after=5000,
+                densify_every=100,
+                grad_thresh=0.0002,
+                num_to_split_into=2,
+                removal_opacity_threshold=0.005,
+                final_removal_opacity_threshold=0.005,
+                reset_opacities_every=3000,
+            ),
+        ),
+        viz=dict(
+            render_mode="color",
+            offset_first_viz_cam=True,
+            show_sil=False,
+            visualize_cams=True,
+            viz_w=600,
+            viz_h=340,
+            viz_near=0.01,
+            viz_far=100.0,
+            view_scale=2,
+            viz_fps=5,
+            enter_interactive_post_online=True,
+        ),
+    )
+
+    def merge(dst, src):
+        for k, v in (src or {}).items():
+            if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                merge(dst[k], v)
+            else:
+                dst[k] = copy.deepcopy(v)
+
+    merge(config["data"], data)
+    merge(config["tracking"], tracking)
+    merge(config["mapping"], mapping)
+    merge(config["viz"], viz)
+    if tpu:
+        config["tpu"] = copy.deepcopy(tpu)
+    return config

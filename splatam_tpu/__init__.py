@@ -20,3 +20,12 @@ Key architectural departures from the reference (see SURVEY.md section 7):
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# The reference pipeline is float32 end-to-end; the TPU MXU default of
+# bfloat16 matmuls (~4e-3 relative error measured on this chip) corrupts
+# pose transforms and covariance math far beyond SLAM tolerances. Force
+# full-precision matmuls globally; hot kernels opt into lower precision
+# explicitly where it is safe.
+_jax.config.update("jax_default_matmul_precision", "highest")

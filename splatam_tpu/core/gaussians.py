@@ -99,6 +99,61 @@ def from_pointcloud(
     return gm
 
 
+@jax.jit
+def compact(gm: GaussianMap, timestep: jax.Array):
+    """Gather active rows to the front (stable order preserved).
+
+    Keeps the active set a dense prefix so the per-frame phase programs can
+    run on a power-of-2 bucketed slice of the buffers instead of full
+    capacity — the main cost lever as the map grows. Densification fills
+    the lowest free slots first, so the prefix property survives until the
+    next pruning pass.
+    """
+    order = jnp.argsort(jnp.logical_not(gm.active), stable=True)
+
+    def g(a):
+        return a[order]
+
+    return (
+        GaussianMap(
+            means3d=g(gm.means3d),
+            rgb_colors=g(gm.rgb_colors),
+            unnorm_rotations=g(gm.unnorm_rotations),
+            logit_opacities=g(gm.logit_opacities),
+            log_scales=g(gm.log_scales),
+            active=g(gm.active),
+        ),
+        timestep[order],
+    )
+
+
+def slice_prefix(gm: GaussianMap, timestep: jax.Array, n: int):
+    """View of the first n slots (requires a compacted map)."""
+    return (
+        GaussianMap(
+            means3d=gm.means3d[:n],
+            rgb_colors=gm.rgb_colors[:n],
+            unnorm_rotations=gm.unnorm_rotations[:n],
+            logit_opacities=gm.logit_opacities[:n],
+            log_scales=gm.log_scales[:n],
+            active=gm.active[:n],
+        ),
+        timestep[:n],
+    )
+
+
+def write_prefix(gm: GaussianMap, view: GaussianMap) -> GaussianMap:
+    """Write a prefix view's (updated) arrays back into the full buffers."""
+    return GaussianMap(
+        means3d=gm.means3d.at[: view.capacity].set(view.means3d),
+        rgb_colors=gm.rgb_colors.at[: view.capacity].set(view.rgb_colors),
+        unnorm_rotations=gm.unnorm_rotations.at[: view.capacity].set(view.unnorm_rotations),
+        logit_opacities=gm.logit_opacities.at[: view.capacity].set(view.logit_opacities),
+        log_scales=gm.log_scales.at[: view.capacity].set(view.log_scales),
+        active=gm.active.at[: view.capacity].set(view.active),
+    )
+
+
 def grow_capacity(gm: GaussianMap, new_capacity: int) -> GaussianMap:
     """Host-side capacity growth (pads with inactive slots)."""
     if new_capacity < gm.capacity:

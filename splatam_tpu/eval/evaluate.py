@@ -88,6 +88,131 @@ def _plot_rgbd_silhouette(color, depth, rastered_color, rastered_depth, sil_mask
     plt.close()
 
 
+def render_at_w2c(gm: GaussianMap, w2c: np.ndarray, cam: Camera, rcfg: RenderConfig):
+    """Render at an arbitrary pose given as a 4x4 w2c matrix (NVS eval path:
+    utils/eval_helpers.py:672-691 — world means transformed by gt_w2c, then
+    rendered through the identity first-frame camera)."""
+    q = _quat_from_w2c_np(w2c)
+    t = w2c[:3, 3].astype(np.float32)
+    return _render_at_pose_jit(gm, jnp.asarray(q), jnp.asarray(t), cam, rcfg)
+
+
+def _quat_from_w2c_np(w2c: np.ndarray) -> np.ndarray:
+    from splatam_tpu.core.transforms import matrix_to_quaternion
+
+    q = np.asarray(matrix_to_quaternion(jnp.asarray(w2c[:3, :3], jnp.float32)))
+    return q / np.linalg.norm(q)
+
+
+def eval_nvs(
+    dataset,
+    final_params: dict,
+    num_frames: int,
+    eval_dir: str,
+    sil_thres: float,
+    mapping_iters: int,
+    add_new_gaussians: bool,
+    eval_every: int = 1,
+    rcfg: RenderConfig = RenderConfig(),
+    save_plots: bool = True,
+    lpips_weights: str | None = None,
+) -> dict:
+    """Novel-view-synthesis evaluation on a held-out split.
+
+    Parity: utils/eval_helpers.py:626-841 (eval_nvs): frame 0 is the first
+    train frame (skipped), test views render at gt poses, frames with >0.1%
+    holes (neither silhouette-present nor invalid-depth) are excluded from
+    the averages.
+    """
+    print("Evaluating Final Parameters for Novel View Synthesis ...")
+    os.makedirs(eval_dir, exist_ok=True)
+    plot_dir = os.path.join(eval_dir, "plots")
+    gm = from_params_dict(final_params)
+    lpips = lpips_fn(lpips_weights)
+    tracking_only = mapping_iters == 0 and not add_new_gaussians
+
+    psnr_list, rmse_list, l1_list, ssim_list, lpips_list, valid_nvs = [], [], [], [], [], []
+    cam = None
+    for time_idx in range(num_frames):
+        color_np, depth_np, intrinsics_np, pose_np = dataset[time_idx]
+        gt_w2c = np.linalg.inv(pose_np)
+        if time_idx == 0:
+            cam = setup_camera(
+                color_np.shape[1], color_np.shape[0], intrinsics_np[:3, :3], None
+            )
+            continue  # first train frame is not a test view
+        test_time_idx = time_idx - 1
+        if test_time_idx != 0 and (test_time_idx + 1) % eval_every != 0:
+            continue
+
+        color = jnp.asarray(color_np.transpose(2, 0, 1) / 255.0, jnp.float32)
+        depth = jnp.asarray(depth_np[..., 0], jnp.float32)
+        out = render_at_w2c(gm, gt_w2c, cam, rcfg)
+
+        valid = depth > 0
+        sil_mask = out.silhouette > sil_thres
+        rastered_depth = out.depth * valid
+
+        # Hole-validity check (eval_helpers.py:710-716).
+        valid_region = sil_mask | ~valid
+        percent_holes = float((~valid_region).mean()) * 100
+        valid_nvs.append(percent_holes <= 0.1)
+
+        if tracking_only:
+            weighted_im = out.im * sil_mask[None] * valid[None]
+            weighted_gt = color * sil_mask[None] * valid[None]
+        else:
+            weighted_im = out.im * valid[None]
+            weighted_gt = color * valid[None]
+        psnr = float(calc_psnr(weighted_im, weighted_gt).mean())
+        ssim = float(ms_ssim(weighted_im, weighted_gt))
+        lp = (
+            float(lpips(jnp.clip(weighted_im, 0, 1), jnp.clip(weighted_gt, 0, 1)))
+            if lpips is not None
+            else float("nan")
+        )
+        diff = (rastered_depth - depth) * valid
+        cnt = jnp.maximum(valid.sum(), 1)
+        rmse = float(jnp.sqrt(diff**2).sum() / cnt)
+        depth_l1 = float(jnp.abs(diff).sum() / cnt)
+
+        psnr_list.append(psnr)
+        ssim_list.append(ssim)
+        lpips_list.append(lp)
+        rmse_list.append(rmse)
+        l1_list.append(depth_l1)
+        if save_plots:
+            _plot_rgbd_silhouette(
+                color, depth, out.im, out.depth, sil_mask, jnp.abs(diff),
+                psnr, depth_l1, f"Time Step: {time_idx}", plot_dir,
+                "%04d" % time_idx,
+            )
+
+    valid_nvs = np.array(valid_nvs, bool)
+    if valid_nvs.sum() == 0:
+        print("WARNING: no valid NVS frames (all exceeded the hole threshold)")
+        valid_nvs = np.ones_like(valid_nvs)
+    metrics = {
+        "psnr": float(np.array(psnr_list)[valid_nvs].mean()),
+        "depth_rmse": float(np.array(rmse_list)[valid_nvs].mean()),
+        "depth_l1": float(np.array(l1_list)[valid_nvs].mean()),
+        "ms_ssim": float(np.array(ssim_list)[valid_nvs].mean()),
+        "lpips": float(np.array(lpips_list)[valid_nvs].mean()),
+        "num_valid_frames": int(valid_nvs.sum()),
+    }
+    print("Average PSNR: {:.2f}".format(metrics["psnr"]))
+    print("Average Depth RMSE: {:.2f} cm".format(metrics["depth_rmse"] * 100))
+    print("Average Depth L1: {:.2f} cm".format(metrics["depth_l1"] * 100))
+    print("Average MS-SSIM: {:.3f}".format(metrics["ms_ssim"]))
+    for name, vals in [
+        ("psnr", psnr_list), ("rmse", rmse_list), ("l1", l1_list),
+        ("ssim", ssim_list), ("lpips", lpips_list),
+    ]:
+        np.savetxt(os.path.join(eval_dir, f"{name}.txt"), np.array(vals))
+    np.save(os.path.join(eval_dir, "valid_nvs_frames.npy"), valid_nvs)
+    return metrics
+
+
 def eval_sequence(
     dataset,
     final_params: dict,

@@ -36,7 +36,9 @@ class RenderConfig:
     def resolve_backend(self) -> str:
         if self.backend != "auto":
             return self.backend
-        return "pallas" if jax.default_backend() not in ("cpu",) else "tiles"
+        # TODO(pallas): switch auto->pallas on TPU once the Pallas
+        # compositor lands; the tiles backend is fully functional on TPU.
+        return "tiles"
 
 
 class RenderOutput(NamedTuple):

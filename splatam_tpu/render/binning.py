@@ -76,8 +76,11 @@ def build_bins(
 
     j = slot - offsets[g]
     w = jnp.maximum(rect_w[g], 1)
-    tdx = j % w
-    tdy = j // w
+    # Integer div/mod has no TPU hardware support (expands to very slow op
+    # sequences); rect extents are tiny so exact float math is safe.
+    jf = j.astype(jnp.float32)
+    tdy = jnp.floor(jf / w.astype(jnp.float32)).astype(jnp.int32)
+    tdx = j - tdy * w
     tx = aux.rect_min[g, 0] + tdx
     ty = aux.rect_min[g, 1] + tdy
     tile = ty * grid_x + tx

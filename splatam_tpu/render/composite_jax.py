@@ -1,18 +1,25 @@
-"""Tile compositor with hand-written analytic backward (pure JAX/XLA).
+"""Tile compositor: chunk-vectorized forward + analytic backward (XLA).
 
-Forward: one lax.scan over per-tile Gaussian list columns, vectorized over
-all tiles x 256 pixels. Backward: custom_vjp reverse sweep re-walking the
-lists back-to-front (Inria-style suffix recomputation) so no per-step
-residuals are stored — only the final transmittance and per-pixel
-contributor counts survive the forward pass.
+Alpha compositing is sequential per pixel, but within a chunk of C
+depth-ordered Gaussians the recurrences are associative and vectorize:
 
-Per-pixel semantics match the reference CUDA rasterizer exactly:
-power>0 skip, alpha<1/255 skip, alpha clamp at 0.99,
-T*(1-alpha) < 1e-4 early termination (renderCUDA in
-diff-gaussian-rasterization-w-depth, see SURVEY.md section 2.1).
+  * transmittance: T_c = T_in * cumprod(1 - alpha_eff) (exclusive), so a
+    whole chunk's per-Gaussian transmittances come from one cumprod;
+  * early termination: the reference's "stop when T*(1-a) < 1e-4" latch is
+    a prefix-OR (cumsum of the terminate flags);
+  * the backward suffix accumulator S_c = a_c*chan_c + (1-a_c)*S_{c+1} is
+    an affine recurrence, contracted against the output cotangent first so
+    it becomes a SCALAR affine recurrence per pixel, solved with
+    jax.lax.associative_scan.
 
-This backend is the semantic twin of the Pallas kernels in
-splatam_tpu/render/pallas/ and the oracle-checked fallback for CPU meshes.
+The outer lax.scan therefore runs K/C steps of dense [tiles, C, 256] math
+(gathers batched per chunk, channel contractions on the MXU) instead of K
+steps of thin row ops — this is what makes the XLA backend usable on TPU;
+the Pallas backend shares the same per-pixel semantics.
+
+Per-pixel rules match the reference CUDA rasterizer exactly: power>0 skip,
+alpha<1/255 skip, 0.99 alpha clamp, T*(1-alpha) < 1e-4 early termination
+(renderCUDA in diff-gaussian-rasterization-w-depth, SURVEY.md section 2.1).
 """
 from __future__ import annotations
 
@@ -25,6 +32,8 @@ from splatam_tpu.render.naive import ALPHA_MAX, ALPHA_MIN, T_EPS
 from splatam_tpu.render.projection import TILE
 
 PIX = TILE * TILE  # 256 pixels per tile
+CHUNK = 32  # gaussians per vectorized chunk
+_HI = jax.lax.Precision.HIGHEST
 
 
 def tile_pixel_coords(width: int, height: int) -> tuple[np.ndarray, np.ndarray]:
@@ -42,50 +51,83 @@ def tile_pixel_coords(width: int, height: int) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
-def _gather_cols(arr, g):
-    """arr [N, ...] indexed by g [T] -> [T, ...]."""
-    return arr[g]
+def _pad_k(lists: jax.Array) -> jax.Array:
+    k = lists.shape[1]
+    pad = (-k) % CHUNK
+    if pad:
+        lists = jnp.pad(lists, ((0, 0), (0, pad)))
+    return lists
+
+
+def _chunk_alpha(xy, conic, opacity, g, m_k, ox, oy, px_loc, py_loc):
+    """Common per-chunk quantities. g: [T, C] gaussian ids.
+
+    Returns (alpha [T,C,P], skip [T,C,P], gval, opa, dx, dy, conic columns).
+    """
+    g_xy = xy[g]  # [T, C, 2]
+    g_con = conic[g]  # [T, C, 3]
+    g_opa = opacity[g][..., None]  # [T, C, 1]
+
+    # Tile-local coordinates keep the quadratic well-conditioned in f32.
+    dx = (g_xy[..., 0:1] - ox[:, None]) - px_loc[:, None, :]  # [T, C, P]
+    dy = (g_xy[..., 1:2] - oy[:, None]) - py_loc[:, None, :]
+    a = g_con[..., 0:1]
+    b = g_con[..., 1:2]
+    c = g_con[..., 2:3]
+    power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+    gval = jnp.exp(power)
+    alpha_un = g_opa * gval
+    alpha = jnp.minimum(ALPHA_MAX, alpha_un)
+    skip = (power > 0.0) | (alpha < ALPHA_MIN) | ~m_k[..., None]
+    return alpha, alpha_un, skip, gval, g_opa, dx, dy, a, b, c
 
 
 def _forward_scan(xy, conic, opacity, channels, lists, lens, pixf_x, pixf_y):
+    lists = _pad_k(lists)
     t_tiles, k_max = lists.shape
-    c = channels.shape[1]
+    ch = channels.shape[1]
+    n_chunks = k_max // CHUNK
+    ox = pixf_x[:, 0:1]
+    oy = pixf_y[:, 0:1]
+    px_loc = pixf_x - ox
+    py_loc = pixf_y - oy
+    col_ids = jnp.arange(CHUNK, dtype=jnp.int32)
 
-    def step(carry, inputs):
+    def step(carry, chunk_idx):
         t_cur, done, n_contrib, acc = carry
-        k, g = inputs
-        m_k = (k < lens)[:, None]  # [T, 1]
-        g_xy = _gather_cols(xy, g)  # [T, 2]
-        g_con = _gather_cols(conic, g)  # [T, 3]
-        g_opa = _gather_cols(opacity, g)[:, None]  # [T, 1]
-        g_chan = _gather_cols(channels, g)  # [T, C]
+        k0 = chunk_idx * CHUNK
+        g = jax.lax.dynamic_slice(lists, (0, k0), (t_tiles, CHUNK))  # [T, C]
+        m_k = (k0 + col_ids)[None, :] < lens[:, None]
 
-        dx = g_xy[:, 0:1] - pixf_x  # [T, PIX]
-        dy = g_xy[:, 1:2] - pixf_y
-        power = (
-            -0.5 * (g_con[:, 0:1] * dx * dx + g_con[:, 2:3] * dy * dy)
-            - g_con[:, 1:2] * dx * dy
+        alpha, _, skip, _, _, _, _, _, _, _ = _chunk_alpha(
+            xy, conic, opacity, g, m_k, ox, oy, px_loc, py_loc
         )
-        alpha = jnp.minimum(ALPHA_MAX, g_opa * jnp.exp(power))
-        consider = m_k & (power <= 0.0) & (alpha >= ALPHA_MIN) & ~done
-        test_t = t_cur * (1.0 - alpha)
-        terminate = consider & (test_t < T_EPS)
-        apply = consider & ~terminate
+        ae = jnp.where(skip, 0.0, alpha)
+        om = 1.0 - ae
+        cp = jnp.cumprod(om, axis=1)
+        cpe = jnp.concatenate([jnp.ones_like(cp[:, :1]), cp[:, :-1]], axis=1)
+        t_before = t_cur[:, None] * cpe  # [T, C, P]
+        test = t_before * om
+        live = ~done[:, None]  # not terminated before this chunk
+        term = ~skip & (test < T_EPS) & live
+        term_before = (jnp.cumsum(term.astype(jnp.int32), axis=1) - term) > 0
+        applied = ~skip & live & ~term_before & ~term
 
-        w = jnp.where(apply, alpha * t_cur, 0.0)  # [T, PIX]
-        acc = acc + g_chan[:, :, None] * w[:, None, :]
-        t_cur = jnp.where(apply, test_t, t_cur)
-        done = done | terminate
-        n_contrib = jnp.where(apply, k + 1, n_contrib)
+        weight = jnp.where(applied, alpha * t_before, 0.0)  # [T, C, P]
+        g_chan = channels[g]  # [T, C, Ch]
+        acc = acc + jnp.einsum("tcp,tch->thp", weight, g_chan, precision=_HI)
+        t_cur = t_cur * jnp.prod(jnp.where(applied, om, 1.0), axis=1)
+        done = done | jnp.any(term, axis=1)
+        kplus = jnp.where(applied, (k0 + col_ids + 1)[None, :, None], 0)
+        n_contrib = jnp.maximum(n_contrib, jnp.max(kplus, axis=1))
         return (t_cur, done, n_contrib, acc), None
 
     t0 = jnp.ones((t_tiles, PIX), jnp.float32)
     done0 = jnp.zeros((t_tiles, PIX), bool)
     nc0 = jnp.zeros((t_tiles, PIX), jnp.int32)
-    acc0 = jnp.zeros((t_tiles, c, PIX), jnp.float32)
-    ks = jnp.arange(k_max, dtype=jnp.int32)
+    acc0 = jnp.zeros((t_tiles, ch, PIX), jnp.float32)
     (t_final, _, n_contrib, acc), _ = jax.lax.scan(
-        step, (t0, done0, nc0, acc0), (ks, lists.T)
+        step, (t0, done0, nc0, acc0), jnp.arange(n_chunks, dtype=jnp.int32)
     )
     return acc, t_final, n_contrib
 
@@ -93,84 +135,93 @@ def _forward_scan(xy, conic, opacity, channels, lists, lens, pixf_x, pixf_y):
 def _backward_scan(
     xy, conic, opacity, channels, lists, lens, pixf_x, pixf_y, t_final, n_contrib, g_acc
 ):
-    """Reverse sweep producing cotangents for xy/conic/opacity/channels.
-
-    g_acc: [T, C, PIX] cotangent of the composited tile accumulator.
-    """
+    """Reverse chunked sweep producing cotangents for xy/conic/opacity/channels."""
+    lists = _pad_k(lists)
+    t_tiles, k_max = lists.shape
     n = xy.shape[0]
-    c = channels.shape[1]
-    k_max = lists.shape[1]
+    ch = channels.shape[1]
+    n_chunks = k_max // CHUNK
+    ox = pixf_x[:, 0:1]
+    oy = pixf_y[:, 0:1]
+    px_loc = pixf_x - ox
+    py_loc = pixf_y - oy
+    col_ids = jnp.arange(CHUNK, dtype=jnp.int32)
 
     d_xy = jnp.zeros((n, 2), jnp.float32)
     d_con = jnp.zeros((n, 3), jnp.float32)
     d_opa = jnp.zeros((n,), jnp.float32)
-    d_chan = jnp.zeros((n, c), jnp.float32)
+    d_chan = jnp.zeros((n, ch), jnp.float32)
 
-    def step(carry, inputs):
-        t_cur, suffix, d_xy, d_con, d_opa, d_chan = carry
-        k, g = inputs
-        m_k = (k < lens)[:, None]
-        g_xy = _gather_cols(xy, g)
-        g_con = _gather_cols(conic, g)
-        g_opa = _gather_cols(opacity, g)[:, None]
-        g_chan = _gather_cols(channels, g)
+    def step(carry, chunk_idx):
+        t_end, v_end, d_xy, d_con, d_opa, d_chan = carry
+        k0 = chunk_idx * CHUNK
+        g = jax.lax.dynamic_slice(lists, (0, k0), (t_tiles, CHUNK))
+        m_k = (k0 + col_ids)[None, :] < lens[:, None]
 
-        dx = g_xy[:, 0:1] - pixf_x
-        dy = g_xy[:, 1:2] - pixf_y
-        power = (
-            -0.5 * (g_con[:, 0:1] * dx * dx + g_con[:, 2:3] * dy * dy)
-            - g_con[:, 1:2] * dx * dy
+        alpha, alpha_un, skip, gval, g_opa, dx, dy, a, b, c = _chunk_alpha(
+            xy, conic, opacity, g, m_k, ox, oy, px_loc, py_loc
         )
-        gval = jnp.exp(power)
-        alpha_un = g_opa * gval
-        alpha = jnp.minimum(ALPHA_MAX, alpha_un)
-        applied = m_k & (power <= 0.0) & (alpha >= ALPHA_MIN) & (k < n_contrib)
+        applied = ~skip & ((k0 + col_ids + 1)[None, :, None] <= n_contrib[:, None])
 
-        # Transmittance *before* this gaussian (undo its application).
-        t_i = jnp.where(applied, t_cur / (1.0 - alpha), t_cur)
+        om = jnp.where(applied, 1.0 - alpha, 1.0)
+        # Transmittance before each gaussian: t_end / prod of later factors.
+        s = jnp.cumprod(om[:, ::-1], axis=1)[:, ::-1]  # s_c = prod_{j>=c} om_j
+        t_before = t_end[:, None] / s  # [T, C, P]; exact for applied entries
+        weight = jnp.where(applied, alpha * t_before, 0.0)
 
-        w = jnp.where(applied, alpha * t_i, 0.0)  # [T, PIX]
-        # d L / d channel_c = sum_pix alpha*T*g_c
-        dchan_tk = jnp.einsum("tp,tcp->tc", w, g_acc)
+        g_chan = channels[g]  # [T, C, Ch]
+        # d L / d chan = sum_p alpha*T*g  -> [T, C, Ch]
+        dchan_tc = jnp.einsum("tcp,thp->tch", weight, g_acc, precision=_HI)
 
-        # d L / d alpha = sum_c (chan_c - suffix_c) * T * g_c
-        diff = g_chan[:, :, None] - suffix  # [T, C, PIX]
-        dalpha = jnp.einsum("tcp,tcp->tp", diff, g_acc) * t_i
-        dalpha = jnp.where(applied, dalpha, 0.0)
+        # Scalar suffix v_c = sum_ch S_c,ch * g_ch via affine recurrence
+        # v_c = om_c * v_{c+1} + alpha_c * u_c (applied), else passthrough.
+        u = jnp.einsum("tch,thp->tcp", g_chan, g_acc, precision=_HI)
+        bvec = jnp.where(applied, alpha * u, 0.0)
+        # reverse inclusive affine scan: (m, b) composition toward smaller c
+        def combine(right, left):
+            # scanning reversed arrays: accumulate maps going to smaller c
+            m1, b1 = right
+            m2, b2 = left
+            return m1 * m2, m2 * b1 + b2
 
+        mm, bb = jax.lax.associative_scan(
+            combine, (om[:, ::-1], bvec[:, ::-1]), axis=1
+        )
+        v_inc = (mm * v_end[:, None] + bb)[:, ::-1]  # v_c inclusive
+        v_next = jnp.concatenate(
+            [v_inc[:, 1:], v_end[:, None]], axis=1
+        )  # v_{c+1}
+
+        dalpha = jnp.where(applied, (u - v_next) * t_before, 0.0)
         not_clamped = alpha_un <= ALPHA_MAX
         dG = jnp.where(not_clamped, g_opa * dalpha, 0.0)
-        dopa_tk = jnp.sum(jnp.where(not_clamped, gval * dalpha, 0.0), axis=1)
+        dopa_tc = jnp.sum(jnp.where(not_clamped, gval * dalpha, 0.0), axis=2)
 
         dpower = dG * gval
-        dxy_x = jnp.sum(dpower * -(g_con[:, 0:1] * dx + g_con[:, 1:2] * dy), axis=1)
-        dxy_y = jnp.sum(dpower * -(g_con[:, 2:3] * dy + g_con[:, 1:2] * dx), axis=1)
-        dcon_a = jnp.sum(dpower * (-0.5 * dx * dx), axis=1)
-        dcon_b = jnp.sum(dpower * (-dx * dy), axis=1)
-        dcon_c = jnp.sum(dpower * (-0.5 * dy * dy), axis=1)
+        dxy_x = jnp.sum(dpower * -(a * dx + b * dy), axis=2)
+        dxy_y = jnp.sum(dpower * -(c * dy + b * dx), axis=2)
+        dcon_a = jnp.sum(dpower * (-0.5 * dx * dx), axis=2)
+        dcon_b = jnp.sum(dpower * (-dx * dy), axis=2)
+        dcon_c = jnp.sum(dpower * (-0.5 * dy * dy), axis=2)
 
-        # Update suffix composite and transmittance for the next (nearer) one.
-        suffix = jnp.where(
-            applied[:, None, :],
-            alpha[:, None, :] * g_chan[:, :, None] + (1.0 - alpha[:, None, :]) * suffix,
-            suffix,
+        gf = g.reshape(-1)
+        d_xy = d_xy.at[gf].add(
+            jnp.stack([dxy_x, dxy_y], axis=-1).reshape(-1, 2)
         )
-        t_cur = t_i
+        d_con = d_con.at[gf].add(
+            jnp.stack([dcon_a, dcon_b, dcon_c], axis=-1).reshape(-1, 3)
+        )
+        d_opa = d_opa.at[gf].add(dopa_tc.reshape(-1))
+        d_chan = d_chan.at[gf].add(dchan_tc.reshape(-1, ch))
 
-        d_xy = d_xy.at[g].add(jnp.stack([dxy_x, dxy_y], axis=-1))
-        d_con = d_con.at[g].add(jnp.stack([dcon_a, dcon_b, dcon_c], axis=-1))
-        d_opa = d_opa.at[g].add(dopa_tk)
-        d_chan = d_chan.at[g].add(dchan_tk)
-        return (t_cur, suffix, d_xy, d_con, d_opa, d_chan), None
+        t_start = t_end / s[:, 0]
+        v_start = v_inc[:, 0]
+        return (t_start, v_start, d_xy, d_con, d_opa, d_chan), None
 
-    t_tiles = lists.shape[0]
-    suffix0 = jnp.zeros((t_tiles, c, PIX), jnp.float32)
-    ks = jnp.arange(k_max, dtype=jnp.int32)
+    v_end0 = jnp.zeros((t_tiles, PIX), jnp.float32)
+    carry0 = (t_final, v_end0, d_xy, d_con, d_opa, d_chan)
     (_, _, d_xy, d_con, d_opa, d_chan), _ = jax.lax.scan(
-        step,
-        (t_final, suffix0, d_xy, d_con, d_opa, d_chan),
-        (ks, lists.T),
-        reverse=True,
+        step, carry0, jnp.arange(n_chunks, dtype=jnp.int32), reverse=True
     )
     return d_xy, d_con, d_opa, d_chan
 

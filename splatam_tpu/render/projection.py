@@ -50,6 +50,35 @@ def build_cov3d(quats: jax.Array, scales: jax.Array) -> jax.Array:
     return rs @ jnp.swapaxes(rs, -1, -2)
 
 
+def _cov3d_components(quats: jax.Array, scales: jax.Array):
+    """Upper-triangular components of R diag(s^2) R^T as six [N] arrays.
+
+    Componentwise (no [N,3,3] intermediates): on TPU, arrays with trailing
+    3x3 dims get padded to full (8,128) vector tiles, turning the batched
+    tiny matmuls into a ~100x memory blowup. Scalar-per-lane math over [N]
+    arrays keeps the VPU fully utilized instead.
+    """
+    q = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
+    r, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - r * z)
+    r02 = 2 * (x * z + r * y)
+    r10 = 2 * (x * y + r * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - r * x)
+    r20 = 2 * (x * z - r * y)
+    r21 = 2 * (y * z + r * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    s0, s1, s2 = scales[:, 0] ** 2, scales[:, 1] ** 2, scales[:, 2] ** 2
+    v00 = r00 * r00 * s0 + r01 * r01 * s1 + r02 * r02 * s2
+    v01 = r00 * r10 * s0 + r01 * r11 * s1 + r02 * r12 * s2
+    v02 = r00 * r20 * s0 + r01 * r21 * s1 + r02 * r22 * s2
+    v11 = r10 * r10 * s0 + r11 * r11 * s1 + r12 * r12 * s2
+    v12 = r10 * r20 * s0 + r11 * r21 * s1 + r12 * r22 * s2
+    v22 = r20 * r20 * s0 + r21 * r21 * s1 + r22 * r22 * s2
+    return v00, v01, v02, v11, v12, v22
+
+
 def project(
     means3d: jax.Array,
     quats: jax.Array,
@@ -83,8 +112,17 @@ def project(
     xy = jnp.stack([pix_x, pix_y], axis=-1)
 
     # 2D covariance: J W Sigma W^T J^T with the reference's frustum clamp.
-    cov3d = build_cov3d(quats, scales)
-    vrk = rot3 @ cov3d @ rot3.T  # rotate covariance into camera frame
+    s00, s01, s02, s11, s12, s22 = _cov3d_components(quats, scales)
+    sigma = [[s00, s01, s02], [s01, s11, s12], [s02, s12, s22]]
+    # vrk = W Sigma W^T with W the (constant) view rotation, unrolled so no
+    # [N,3,3] arrays are materialized.
+    wsig = [
+        [sum(rot3[i, k] * sigma[k][j] for k in range(3)) for j in range(3)]
+        for i in range(3)
+    ]
+    def _vrk(i, j):
+        return sum(wsig[i][k] * rot3[j, k] for k in range(3))
+
     limx = 1.3 * (width / (2.0 * fx))
     limy = 1.3 * (height / (2.0 * fy))
     txtz = jnp.clip(p_view[:, 0] / safe_tz, -limx, limx)
@@ -101,8 +139,8 @@ def project(
     j12 = -fy * ty * inv_z2
 
     # cov2d = J V J^T expanded for the sparse J structure.
-    v00, v01, v02 = vrk[:, 0, 0], vrk[:, 0, 1], vrk[:, 0, 2]
-    v11, v12, v22 = vrk[:, 1, 1], vrk[:, 1, 2], vrk[:, 2, 2]
+    v00, v01, v02 = _vrk(0, 0), _vrk(0, 1), _vrk(0, 2)
+    v11, v12, v22 = _vrk(1, 1), _vrk(1, 2), _vrk(2, 2)
     c00 = j00 * (j00 * v00 + j02 * v02) + j02 * (j00 * v02 + j02 * v22) + 0.3
     c01 = j11 * (j00 * v01 + j02 * v12) + j12 * (j00 * v02 + j02 * v22)
     c11 = j11 * (j11 * v11 + j12 * v12) + j12 * (j11 * v12 + j12 * v22) + 0.3

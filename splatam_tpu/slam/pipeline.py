@@ -216,6 +216,25 @@ class SLAMRuntime:
         }
 
     # -------------------------------------------------------------------
+    def _bucket(self, n_active: int) -> int:
+        b = 4096
+        while b < n_active:
+            b *= 2
+        return min(b, self.gm.capacity)
+
+    def _phase_rcfg(self, bucket: int) -> RenderConfig:
+        pair_cap = max(1 << 16, min(2 * bucket, int(self.config["tpu"]["pair_cap"])))
+        return RenderConfig(
+            backend=self.rcfg.backend,
+            pair_cap=pair_cap,
+            tile_k_max=self.rcfg.tile_k_max,
+        )
+
+    def compact(self):
+        """Re-pack active Gaussians into a dense prefix (once per frame)."""
+        self.gm, self.timestep = G.compact(self.gm, self.timestep)
+
+    # -------------------------------------------------------------------
     def _grow(self, new_capacity: int):
         self.gm = G.grow_capacity(self.gm, new_capacity)
         pad = new_capacity - self.timestep.shape[0]
@@ -235,10 +254,12 @@ class SLAMRuntime:
     # -------------------------------------------------------------------
     def track_frame(self, time_idx: int, tr_color, tr_depth) -> None:
         cfg_t = self.config["tracking"]
+        bucket = self._bucket(int(self.gm.num_active()))
+        gm_view, _ = G.slice_prefix(self.gm, self.timestep, bucket)
         q0 = jnp.asarray(self.cam_rots[time_idx])
         t0 = jnp.asarray(self.cam_trans[time_idx])
         best_q, best_t, iters, _loss, ovf = steps.tracking_phase(
-            self.gm,
+            gm_view,
             q0,
             t0,
             tr_color,
@@ -250,7 +271,7 @@ class SLAMRuntime:
             float(cfg_t["lrs"]["cam_unnorm_rots"]),
             float(cfg_t["lrs"]["cam_trans"]),
             self.pcfg_track,
-            self.rcfg,
+            self._phase_rcfg(bucket),
         )
         best_q.block_until_ready()
         self.cam_rots[time_idx] = np.asarray(best_q)
@@ -333,8 +354,10 @@ class SLAMRuntime:
             ts.append(self.cam_trans[frame_id])
 
         lrs = cfg_m["lrs"]
+        bucket = self._bucket(int(self.gm.num_active()))
+        gm_view, _ = G.slice_prefix(self.gm, self.timestep, bucket)
         gm2, loss_sum, ovf = steps.mapping_phase(
-            self.gm,
+            gm_view,
             self.kf_colors,
             self.kf_depths,
             jnp.asarray(np.array(slots, np.int32)),
@@ -344,7 +367,7 @@ class SLAMRuntime:
             self.cam,
             num_iters,
             self.pcfg_map,
-            self.rcfg,
+            self._phase_rcfg(bucket),
             self.prune_cfg,
             (
                 float(lrs["means3D"]),
@@ -355,7 +378,7 @@ class SLAMRuntime:
             ),
         )
         gm2.means3d.block_until_ready()
-        self.gm = gm2
+        self.gm = G.write_prefix(self.gm, gm2)
         if int(ovf) > 0:
             print(f"[splatam-tpu] WARNING: pair buffer overflow ({int(ovf)}) in mapping")
 
@@ -396,6 +419,7 @@ def rgbd_slam(config: dict) -> dict:
         gt_w2c = np.linalg.inv(gt_pose)
         rt.gt_w2c_all.append(gt_w2c)
         color, depth = _frame_to_device(color_np, depth_np)
+        rt.compact()
 
         if rt.tracking_dataset is not None:
             t_color_np, t_depth_np, _, _ = rt.tracking_dataset[time_idx]

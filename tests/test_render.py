@@ -7,7 +7,8 @@ from splatam_tpu.core.camera import setup_camera
 from splatam_tpu.render.api import RenderConfig, render_gaussians, render_rgbd_sil
 
 
-def make_scene(n=200, seed=0, spread=1.0, z_range=(1.5, 4.0), opacity=1.5, scale=0.08):
+def make_scene(n=200, seed=0, spread=1.0, z_range=(1.5, 4.0), opacity=1.5, scale=0.08,
+               anisotropic=False):
     """Random cloud of Gaussians in front of the camera."""
     rng = np.random.default_rng(seed)
     means = np.stack(
@@ -21,7 +22,8 @@ def make_scene(n=200, seed=0, spread=1.0, z_range=(1.5, 4.0), opacity=1.5, scale
     colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
     quats = rng.normal(size=(n, 4)).astype(np.float32)
     logit_op = rng.normal(loc=opacity, scale=0.5, size=(n,)).astype(np.float32)
-    log_scales = np.log(rng.uniform(scale * 0.5, scale * 1.5, (n, 1))).astype(np.float32)
+    s_cols = 3 if anisotropic else 1
+    log_scales = np.log(rng.uniform(scale * 0.5, scale * 1.5, (n, s_cols))).astype(np.float32)
     active = np.ones(n, bool)
     return (
         jnp.asarray(means),
@@ -115,7 +117,7 @@ def _loss_fn(config, cam, target):
 
 def test_backward_tiles_matches_naive_autodiff():
     cam = make_cam(w=64, h=48)
-    scene = make_scene(n=80, seed=2)
+    scene = make_scene(n=80, seed=2, anisotropic=True)
     target = jnp.zeros((3, 48, 64))
     loss_naive = _loss_fn(NAIVE, cam, target)
     loss_tiles = _loss_fn(TILES, cam, target)
@@ -137,9 +139,7 @@ def test_oracle_gradient_matches_float64_finite_differences():
     Float32 FD is too coarse for this loss surface, so x64 is enabled
     locally.
     """
-    from jax.experimental import enable_x64
-
-    with enable_x64():
+    with jax.enable_x64():
         cam = make_cam(w=32, h=32)
         scene = make_scene(n=12, seed=3, spread=0.4, z_range=(1.8, 2.5), scale=0.15)
         scene = tuple(
