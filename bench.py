@@ -109,7 +109,9 @@ def main():
         if time_idx >= warmup:
             frame_times.append(dt)
 
-    per_frame = float(np.mean(frame_times))
+    # Median excludes jit-compile spikes on frames that hit a new capacity
+    # bucket; steady-state per-frame time is the comparable quantity.
+    per_frame = float(np.median(frame_times))
     result = {
         "metric": f"per-frame track+map seconds (synthetic {width}x{height}, 40 track + 60 map iters)",
         "value": round(per_frame, 4),

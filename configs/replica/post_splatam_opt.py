@@ -1,0 +1,64 @@
+"""Post-SplaTAM 3DGS refinement on Replica.
+Values: reference configs/replica/post_splatam_opt.py (15k iters)."""
+import os
+
+scenes = ["room0", "room1", "room2", "office0", "office1", "office2", "office3", "office4"]
+
+seed = int(os.environ.get("SEED", 0))
+scene_name = scenes[int(os.environ.get("SCENE_NUM", 0))]
+
+config = dict(
+    workdir="./experiments/Replica_PostOpt",
+    run_name=f"{scene_name}_seed{seed}",
+    seed=seed,
+    primary_device="tpu:0",
+    mean_sq_dist_method="projective",
+    gaussian_distribution="anisotropic",
+    report_iter_progress=False,
+    use_wandb=False,
+    eval_every=1,
+    data=dict(
+        basedir="./data/Replica",
+        gradslam_data_cfg="./configs/data/replica.yaml",
+        sequence=scene_name,
+        desired_image_height=340,
+        desired_image_width=600,
+        start=0,
+        end=-1,
+        stride=1,
+        num_frames=-1,
+        eval_stride=10,
+        eval_num_frames=-1,
+        param_ckpt_path=f"./experiments/Replica/{scene_name}_{seed}/params.npz",
+    ),
+    train=dict(
+        num_iters_mapping=15000,
+        sil_thres=0.5,
+        use_sil_for_loss=True,
+        loss_weights=dict(im=0.5, depth=1.0),
+        lrs_mapping=dict(
+            means3D=0.00032,
+            rgb_colors=0.0025,
+            unnorm_rotations=0.001,
+            logit_opacities=0.05,
+            log_scales=0.005,
+            cam_unnorm_rots=0.0000,
+            cam_trans=0.0000,
+        ),
+        lrs_mapping_means3D_final=0.0000032,
+        lr_delay_mult=0.01,
+        use_gaussian_splatting_densification=True,
+        densify_dict=dict(
+            start_after=500,
+            remove_big_after=3000,
+            stop_after=5000,
+            densify_every=100,
+            grad_thresh=0.0002,
+            num_to_split_into=2,
+            removal_opacity_threshold=0.005,
+            final_removal_opacity_threshold=0.005,
+            reset_opacities=False,
+            reset_opacities_every=3000,
+        ),
+    ),
+)

@@ -1,0 +1,14 @@
+#!/bin/bash
+# Replica benchmark sweep: 8 scenes x 3 seeds (parity:
+# reference configs/replica/replica.bash). SEED/SCENE_NUM are consumed by
+# configs/replica/splatam.py.
+for seed in 0 1 2
+do
+    export SEED=${seed}
+    for scene in 0 1 2 3 4 5 6 7
+    do
+        export SCENE_NUM=${scene}
+        echo "Running scene number ${SCENE_NUM} with seed ${SEED}"
+        python3 -u scripts/splatam.py configs/replica/splatam.py
+    done
+done

@@ -1,0 +1,12 @@
+#!/bin/bash
+# TUM-RGBD sweep: 5 sequences x 3 seeds.
+for seed in 0 1 2
+do
+    export SEED=${seed}
+    for scene in 0 1 2 3 4
+    do
+        export SCENE_NUM=${scene}
+        echo "Running scene number ${SCENE_NUM} with seed ${SEED}"
+        python3 -u scripts/splatam.py configs/tum/splatam.py
+    done
+done

@@ -126,8 +126,14 @@ def _forward_scan(xy, conic, opacity, channels, lists, lens, pixf_x, pixf_y):
     done0 = jnp.zeros((t_tiles, PIX), bool)
     nc0 = jnp.zeros((t_tiles, PIX), jnp.int32)
     acc0 = jnp.zeros((t_tiles, ch, PIX), jnp.float32)
-    (t_final, _, n_contrib, acc), _ = jax.lax.scan(
-        step, (t0, done0, nc0, acc0), jnp.arange(n_chunks, dtype=jnp.int32)
+    # Only walk chunks that can contain work (dynamic bound: the padded
+    # tail of the K lists costs nothing).
+    n_eff = jnp.minimum((jnp.max(lens) + CHUNK - 1) // CHUNK, n_chunks)
+    t_final, _, n_contrib, acc = jax.lax.fori_loop(
+        0,
+        n_eff,
+        lambda i, c: step(c, i)[0],
+        (t0, done0, nc0, acc0),
     )
     return acc, t_final, n_contrib
 
@@ -147,13 +153,10 @@ def _backward_scan(
     py_loc = pixf_y - oy
     col_ids = jnp.arange(CHUNK, dtype=jnp.int32)
 
-    d_xy = jnp.zeros((n, 2), jnp.float32)
-    d_con = jnp.zeros((n, 3), jnp.float32)
-    d_opa = jnp.zeros((n,), jnp.float32)
-    d_chan = jnp.zeros((n, ch), jnp.float32)
+    d_all0 = jnp.zeros((n, 6 + ch), jnp.float32)
 
     def step(carry, chunk_idx):
-        t_end, v_end, d_xy, d_con, d_opa, d_chan = carry
+        t_end, v_end, d_all = carry
         k0 = chunk_idx * CHUNK
         g = jax.lax.dynamic_slice(lists, (0, k0), (t_tiles, CHUNK))
         m_k = (k0 + col_ids)[None, :] < lens[:, None]
@@ -205,24 +208,34 @@ def _backward_scan(
         dcon_c = jnp.sum(dpower * (-0.5 * dy * dy), axis=2)
 
         gf = g.reshape(-1)
-        d_xy = d_xy.at[gf].add(
-            jnp.stack([dxy_x, dxy_y], axis=-1).reshape(-1, 2)
-        )
-        d_con = d_con.at[gf].add(
-            jnp.stack([dcon_a, dcon_b, dcon_c], axis=-1).reshape(-1, 3)
-        )
-        d_opa = d_opa.at[gf].add(dopa_tc.reshape(-1))
-        d_chan = d_chan.at[gf].add(dchan_tc.reshape(-1, ch))
+        # One fused scatter-add per chunk: [xy(2) | conic(3) | opa(1) | chan].
+        rows = jnp.concatenate(
+            [
+                jnp.stack([dxy_x, dxy_y, dcon_a, dcon_b, dcon_c, dopa_tc], axis=-1),
+                dchan_tc,
+            ],
+            axis=-1,
+        ).reshape(-1, 6 + ch)
+        d_all = d_all.at[gf].add(rows)
 
         t_start = t_end / s[:, 0]
         v_start = v_inc[:, 0]
-        return (t_start, v_start, d_xy, d_con, d_opa, d_chan), None
+        return (t_start, v_start, d_all), None
 
     v_end0 = jnp.zeros((t_tiles, PIX), jnp.float32)
-    carry0 = (t_final, v_end0, d_xy, d_con, d_opa, d_chan)
-    (_, _, d_xy, d_con, d_opa, d_chan), _ = jax.lax.scan(
-        step, carry0, jnp.arange(n_chunks, dtype=jnp.int32), reverse=True
+    carry0 = (t_final, v_end0, d_all0)
+    n_eff = jnp.minimum((jnp.max(lens) + CHUNK - 1) // CHUNK, n_chunks)
+    # Reverse walk over only the occupied chunks.
+    _, _, d_all = jax.lax.fori_loop(
+        0,
+        n_eff,
+        lambda j, c: step(c, n_eff - 1 - j)[0],
+        carry0,
     )
+    d_xy = d_all[:, 0:2]
+    d_con = d_all[:, 2:5]
+    d_opa = d_all[:, 5]
+    d_chan = d_all[:, 6:]
     return d_xy, d_con, d_opa, d_chan
 
 

@@ -217,9 +217,12 @@ class SLAMRuntime:
 
     # -------------------------------------------------------------------
     def _bucket(self, n_active: int) -> int:
+        # 4x granularity: fewer distinct shapes -> fewer phase recompiles
+        # (compilation is expensive relative to the ~2x upper-bound waste,
+        # and the waste is bounded by the next bucket anyway).
         b = 4096
         while b < n_active:
-            b *= 2
+            b *= 4
         return min(b, self.gm.capacity)
 
     def _phase_rcfg(self, bucket: int) -> RenderConfig:
