@@ -236,7 +236,12 @@ def offline_splatting(config: dict) -> dict:
     os.makedirs(eval_dir, exist_ok=True)
     params = G.compact_to_numpy(gm)
     active = np.asarray(gm.active)
-    params["timestep"] = np.asarray(timestep)[np.nonzero(active)[0]]
+    ts_np = np.asarray(timestep)
+    if ts_np.shape[0] < active.shape[0]:  # capacity grew during training
+        ts_np = np.concatenate(
+            [ts_np, np.zeros(active.shape[0] - ts_np.shape[0], np.float32)]
+        )
+    params["timestep"] = ts_np[np.nonzero(active)[0]]
     params["cam_unnorm_rots"] = cam_rots.T[None]
     params["cam_trans"] = cam_trans.T[None]
     params["intrinsics"] = map_intrinsics
