@@ -36,9 +36,7 @@ class RenderConfig:
     def resolve_backend(self) -> str:
         if self.backend != "auto":
             return self.backend
-        # TODO(pallas): switch auto->pallas on TPU once the Pallas
-        # compositor lands; the tiles backend is fully functional on TPU.
-        return "tiles"
+        return "pallas" if jax.default_backend() == "tpu" else "tiles"
 
 
 class RenderOutput(NamedTuple):

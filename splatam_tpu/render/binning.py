@@ -106,6 +106,33 @@ def build_bins(
     )
 
 
+def padded_layout(bins: Bins, num_tiles: int, pad_cap: int, align: int = 128):
+    """Re-index sorted pairs into 128-lane-aligned per-tile segments.
+
+    The Pallas compositor streams each tile's pair attributes with aligned
+    DMAs, which requires every tile segment to start at a multiple of
+    `align` in the padded array. Returns:
+      pad_gauss [pad_cap] int32 — gaussian id per padded slot (0 for pads),
+      pad_start [T+1] int32 — aligned segment starts,
+      lens      [T]   int32 — real (unpadded) segment lengths.
+    """
+    lens = bins.tile_start[1:] - bins.tile_start[:-1]
+    pad_lens = ((lens + align - 1) // align) * align
+    pad_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(pad_lens).astype(jnp.int32)]
+    )
+    # padded slot -> owning tile via segment-start markers + cumsum
+    marks = jnp.zeros((pad_cap,), jnp.int32).at[pad_start[:-1]].add(1, mode="drop")
+    tile_of = jnp.cumsum(marks) - 1
+    tile_of = jnp.clip(tile_of, 0, num_tiles - 1)
+    slot = jnp.arange(pad_cap, dtype=jnp.int32)
+    rank = slot - pad_start[tile_of]
+    valid = (rank < lens[tile_of]) & (slot < pad_start[-1])
+    src = jnp.clip(bins.tile_start[tile_of] + rank, 0, bins.pair_gauss.shape[0] - 1)
+    pad_gauss = jnp.where(valid, bins.pair_gauss[src], 0)
+    return pad_gauss, pad_start, lens
+
+
 def tile_lists(bins: Bins, num_tiles: int, k_max: int) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fixed-width per-tile Gaussian lists for the scan compositor.
 

@@ -255,6 +255,42 @@ class SLAMRuntime:
         )
 
     # -------------------------------------------------------------------
+    def load_checkpoint(self, checkpoint_time_idx: int) -> None:
+        """Resume from params{t}.npz (parity: scripts/splatam.py:604-638):
+        reload the map and trajectory, re-derive per-Gaussian aux arrays as
+        zeros, replay gt poses, and rebuild the keyframe list/stores from
+        the saved keyframe indices by re-reading those frames."""
+        print(f"Loading Checkpoint for Frame {checkpoint_time_idx}")
+        ckpt_path = os.path.join(self.output_dir, f"params{checkpoint_time_idx}.npz")
+        ckpt = dict(np.load(ckpt_path, allow_pickle=True))
+        self.gm = G.from_params_dict(ckpt, capacity=self.gm.capacity)
+        self.timestep = jnp.zeros((self.gm.capacity,), jnp.float32)
+        cam_rots = np.asarray(ckpt["cam_unnorm_rots"])[0].T.astype(np.float32)
+        cam_trans = np.asarray(ckpt["cam_trans"])[0].T.astype(np.float32)
+        n = min(len(cam_rots), len(self.cam_rots))
+        self.cam_rots[:n] = cam_rots[:n]
+        self.cam_trans[:n] = cam_trans[:n]
+
+        kf_indices = np.load(
+            os.path.join(self.output_dir, f"keyframe_time_indices{checkpoint_time_idx}.npy")
+        ).tolist()
+        for time_idx in range(checkpoint_time_idx):
+            color_np, depth_np, _, gt_pose = self.dataset[time_idx]
+            self.gt_w2c_all.append(np.linalg.inv(gt_pose))
+            if time_idx in kf_indices:
+                slot = len(self.keyframe_list)
+                self._stage_keyframe(slot, color_np, depth_np)
+                self.keyframe_list.append(
+                    {
+                        "id": time_idx,
+                        "slot": slot,
+                        "q": self.cam_rots[time_idx].copy(),
+                        "t": self.cam_trans[time_idx].copy(),
+                    }
+                )
+                self.keyframe_time_indices.append(time_idx)
+
+    # -------------------------------------------------------------------
     def track_frame(self, time_idx: int, tr_color, tr_depth) -> None:
         cfg_t = self.config["tracking"]
         bucket = self._bucket(int(self.gm.num_active()))
@@ -415,9 +451,14 @@ def rgbd_slam(config: dict) -> dict:
     keyframe_every = config["keyframe_every"]
     stats = rt.stats
 
+    checkpoint_time_idx = 0
+    if config["load_checkpoint"]:
+        checkpoint_time_idx = int(config["checkpoint_time_idx"])
+        rt.load_checkpoint(checkpoint_time_idx)
+
     from tqdm import tqdm
 
-    for time_idx in tqdm(range(rt.num_frames)):
+    for time_idx in tqdm(range(checkpoint_time_idx, rt.num_frames)):
         color_np, depth_np, _, gt_pose = rt.dataset[time_idx]
         gt_w2c = np.linalg.inv(gt_pose)
         rt.gt_w2c_all.append(gt_w2c)
