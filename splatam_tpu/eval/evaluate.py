@@ -88,6 +88,104 @@ def _plot_rgbd_silhouette(color, depth, rastered_color, rastered_depth, sil_mask
     plt.close()
 
 
+def report_progress(
+    gm: GaussianMap,
+    q,
+    t,
+    color,
+    depth_gt,
+    cam: Camera,
+    sil_thres: float,
+    rcfg: RenderConfig = RenderConfig(),
+    tracking: bool = False,
+    gt_w2c_list=None,
+    est_w2c_list=None,
+) -> dict:
+    """Per-frame progress metrics (PSNR, depth RMSE/L1, tracking ATE).
+
+    Parity: report_progress (utils/eval_helpers.py:152-277) minus the
+    wandb/tqdm plumbing — returns the metric dict instead.
+    """
+    out = _render_at_pose_jit(gm, jnp.asarray(q), jnp.asarray(t), cam, rcfg)
+    valid = depth_gt > 0
+    sil_mask = out.silhouette > sil_thres
+    if tracking:
+        psnr = float(
+            calc_psnr(out.im * sil_mask[None], color * sil_mask[None]).mean()
+        )
+        diff = (out.depth - depth_gt) * sil_mask * valid
+    else:
+        psnr = float(calc_psnr(out.im, color).mean())
+        diff = (out.depth - depth_gt) * valid
+    cnt = jnp.maximum(valid.sum(), 1)
+    metrics = {
+        "psnr": psnr,
+        "depth_rmse": float(jnp.sqrt(diff**2).sum() / cnt),
+        "depth_l1": float(jnp.abs(diff).sum() / cnt),
+    }
+    if tracking and gt_w2c_list is not None and est_w2c_list is not None:
+        try:
+            metrics["ate_rmse"] = evaluate_ate(gt_w2c_list, est_w2c_list)
+        except Exception:
+            metrics["ate_rmse"] = float("nan")
+    return metrics
+
+
+def eval_online(
+    dataset,
+    all_params: list,
+    num_frames: int,
+    eval_online_dir: str,
+    sil_thres: float,
+    mapping_iters: int,
+    add_new_gaussians: bool,
+    eval_every: int = 1,
+    rcfg: RenderConfig = RenderConfig(),
+) -> dict:
+    """Per-timestep online evaluation over saved parameter snapshots.
+
+    Parity: eval_online (utils/eval_helpers.py:279-405): frame t is
+    evaluated against the params as they were at time t.
+    """
+    print("Evaluating Online Final Parameters...")
+    os.makedirs(eval_online_dir, exist_ok=True)
+    psnr_list, rmse_list, l1_list = [], [], []
+    cam = None
+    tracking_only = mapping_iters == 0 and not add_new_gaussians
+    for time_idx in range(num_frames):
+        if time_idx != 0 and (time_idx + 1) % eval_every != 0:
+            continue
+        params = all_params[time_idx]
+        color_np, depth_np, intrinsics_np, pose_np = dataset[time_idx]
+        if cam is None:
+            cam = setup_camera(
+                color_np.shape[1], color_np.shape[0], intrinsics_np[:3, :3], None
+            )
+        gm = from_params_dict(params)
+        q = np.asarray(params["cam_unnorm_rots"])[0][:, time_idx]
+        t = np.asarray(params["cam_trans"])[0][:, time_idx]
+        color = jnp.asarray(color_np.transpose(2, 0, 1) / 255.0, jnp.float32)
+        depth = jnp.asarray(depth_np[..., 0], jnp.float32)
+        m = report_progress(
+            gm, q, t, color, depth, cam, sil_thres, rcfg, tracking=tracking_only
+        )
+        psnr_list.append(m["psnr"])
+        rmse_list.append(m["depth_rmse"])
+        l1_list.append(m["depth_l1"])
+    result = {
+        "psnr": float(np.mean(psnr_list)),
+        "depth_rmse": float(np.mean(rmse_list)),
+        "depth_l1": float(np.mean(l1_list)),
+    }
+    print("Online Average PSNR: {:.2f}".format(result["psnr"]))
+    print("Online Average Depth RMSE: {:.2f}".format(result["depth_rmse"]))
+    print("Online Average Depth L1: {:.2f}".format(result["depth_l1"]))
+    np.savetxt(os.path.join(eval_online_dir, "online_psnr.txt"), np.array(psnr_list))
+    np.savetxt(os.path.join(eval_online_dir, "online_rmse.txt"), np.array(rmse_list))
+    np.savetxt(os.path.join(eval_online_dir, "online_l1.txt"), np.array(l1_list))
+    return result
+
+
 def render_at_w2c(gm: GaussianMap, w2c: np.ndarray, cam: Camera, rcfg: RenderConfig):
     """Render at an arbitrary pose given as a 4x4 w2c matrix (NVS eval path:
     utils/eval_helpers.py:672-691 — world means transformed by gt_w2c, then

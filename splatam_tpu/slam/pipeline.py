@@ -502,6 +502,25 @@ def rgbd_slam(config: dict) -> dict:
         if time_idx > 0 and not use_gt_poses:
             stats["tracking_iter_time_sum"] += tracking_time
 
+        # Periodic global progress report (scripts/splatam.py:760-774);
+        # failures dump an emergency checkpoint like the reference.
+        if time_idx == 0 or (time_idx + 1) % config["report_global_progress_every"] == 0:
+            try:
+                from splatam_tpu.eval.evaluate import report_progress
+
+                m = report_progress(
+                    rt.gm, rt.cam_rots[time_idx], rt.cam_trans[time_idx],
+                    tr_color, tr_depth, rt.tracking_cam,
+                    config["tracking"]["sil_thres"], rt.rcfg, tracking=True,
+                )
+                print(
+                    f"[progress] frame {time_idx}: psnr={m['psnr']:.2f} "
+                    f"depth_l1={m['depth_l1']:.4f}"
+                )
+            except Exception:
+                save_params_ckpt(rt.export_params(), rt.output_dir, time_idx)
+                print("Failed to evaluate trajectory.")
+
         # ---- Densification + Mapping ----------------------------------
         if time_idx == 0 or (time_idx + 1) % map_every == 0:
             if config["mapping"]["add_new_gaussians"] and time_idx > 0:

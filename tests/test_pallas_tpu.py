@@ -1,0 +1,76 @@
+"""Pallas kernel parity vs the XLA tiles backend — runs only on real TPU.
+
+(The CPU test suite exercises the tiles backend against the naive oracle;
+this file closes the chain tiles == pallas on hardware.)
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+if jax.default_backend() != "tpu":
+    pytest.skip("Pallas TPU kernels need a TPU", allow_module_level=True)
+
+from splatam_tpu.core.camera import Camera
+from splatam_tpu.render.api import RenderConfig, render_gaussians
+
+
+def _scene(n=4096, seed=0):
+    rng = np.random.default_rng(seed)
+    means = np.stack(
+        [rng.uniform(-1.5, 1.5, n), rng.uniform(-1, 1, n), rng.uniform(1.5, 5, n)], -1
+    ).astype(np.float32)
+    return [
+        jnp.asarray(x)
+        for x in (
+            means,
+            rng.uniform(0, 1, (n, 3)).astype(np.float32),
+            rng.normal(size=(n, 4)).astype(np.float32),
+            rng.normal(1.0, 0.5, n).astype(np.float32),
+            np.log(rng.uniform(0.01, 0.05, (n, 3))).astype(np.float32),
+            np.ones(n, bool),
+        )
+    ]
+
+
+CAM = Camera(height=96, width=160, fx=120.0, fy=120.0, cx=80.0, cy=48.0)
+CFG_T = RenderConfig(backend="tiles", pair_cap=1 << 14, tile_k_max=1024)
+CFG_P = RenderConfig(backend="pallas", pair_cap=1 << 14, tile_k_max=1024)
+
+
+def test_pallas_forward_matches_tiles():
+    scene = _scene()
+
+    @jax.jit
+    def ft(*a):
+        return render_gaussians(CAM, *a, config=CFG_T)[0]
+
+    @jax.jit
+    def fp(*a):
+        return render_gaussians(CAM, *a, config=CFG_P)[0]
+
+    img_t, img_p = np.asarray(ft(*scene)), np.asarray(fp(*scene))
+    np.testing.assert_allclose(img_p, img_t, atol=1e-4)
+
+
+def test_pallas_backward_matches_tiles():
+    scene = _scene(seed=1)
+
+    def gradfn(cfg):
+        @jax.jit
+        def g(means, rgb, quats, logit, logsc, active):
+            def loss(m, r, q, l, s):
+                img, _, _ = render_gaussians(CAM, m, r, q, l, s, active, config=cfg)
+                return jnp.sum(img**2)
+
+            return jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+                means, rgb, quats, logit, logsc
+            )
+        return g
+
+    gt = gradfn(CFG_T)(*scene)
+    gp = gradfn(CFG_P)(*scene)
+    for name, x, y in zip(["means", "rgb", "quats", "logit", "logsc"], gt, gp):
+        x, y = np.asarray(x), np.asarray(y)
+        scale = np.abs(x).max() + 1e-8
+        np.testing.assert_allclose(y, x, atol=5e-5 * scale, err_msg=name)
