@@ -40,7 +40,7 @@ def _local_render_loss(gm_arrays, q, t, color_rows, depth_rows, cam_local: Camer
     means3d, rgb, rots, logit_op, log_scales, active = gm_arrays
     gm = GaussianMap(means3d, rgb, rots, logit_op, log_scales, active)
     means_cam, rots_cam = transform_to_frame(gm, q, t, True, False)
-    img, _, _ = render_gaussians(
+    img, _, _, _ = render_gaussians(
         cam_local, means_cam, rgb, rots_cam, logit_op, log_scales, active,
         config=rcfg, intrinsics_override=(fx, fy, cx, cy_local),
     )

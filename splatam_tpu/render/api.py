@@ -46,16 +46,17 @@ class RenderOutput(NamedTuple):
     depth_sq: jax.Array  # [H, W] composited z^2
     radii: jax.Array  # [N] int32 screen radius (0 = culled)
     overflow: jax.Array  # scalar int32: dropped pairs / list overflow
+    n_pairs: jax.Array  # scalar int32: actual (gaussian, tile) pairs
 
 
 def _composite_backend(cfg: RenderConfig, cam: Camera, xy, conic, opacity, depth, channels, aux):
-    """Dispatch the compositing stage; returns ([C,H,W] image, overflow)."""
+    """Dispatch the compositing stage -> (image [C,H,W], overflow, n_pairs)."""
     backend = cfg.resolve_backend()
     w, h = cam.width, cam.height
     proj = projection_mod.Projected(xy=xy, depth=depth, conic=conic, opacity=opacity)
     if backend == "naive":
         img = naive_mod.composite_naive(proj, aux, channels, w, h)
-        return img, jnp.int32(0)
+        return img, jnp.int32(0), jnp.int32(0)
 
     bins = binning_mod.build_bins(
         proj._replace(depth=jax.lax.stop_gradient(depth)), aux, w, h, cfg.pair_cap, far=cam.far
@@ -69,7 +70,7 @@ def _composite_backend(cfg: RenderConfig, cam: Camera, xy, conic, opacity, depth
         img, list_overflow = composite_pallas.composite(
             xy, conic, opacity, channels, bins, w, h
         )
-        return img, bins.overflow + list_overflow
+        return img, bins.overflow + list_overflow, bins.n_pairs
 
     lists, lens, list_overflow = binning_mod.tile_lists(bins, num_tiles, cfg.tile_k_max)
     px, py = composite_jax.tile_pixel_coords(w, h)
@@ -77,7 +78,7 @@ def _composite_backend(cfg: RenderConfig, cam: Camera, xy, conic, opacity, depth
         xy, conic, opacity, channels, lists, lens, jnp.asarray(px), jnp.asarray(py)
     )
     img = composite_jax.assemble_image(acc, w, h)
-    return img, bins.overflow + list_overflow
+    return img, bins.overflow + list_overflow, bins.n_pairs
 
 
 def render_gaussians(
@@ -99,7 +100,8 @@ def render_gaussians(
     camera-frame Gaussians with an identity w2c, mirroring
     transform_to_frame + first-frame camera in the reference).
 
-    Returns (img [C(+3), H, W], radii [N], overflow scalar). When
+    Returns (img [C(+3), H, W], radii [N], overflow scalar, n_pairs scalar).
+    When
     `append_depth_channels`, three channels [z, 1, z^2] are appended after
     the user channels.
     """
@@ -135,10 +137,10 @@ def render_gaussians(
         scale = jnp.asarray([cam.width * 0.5, cam.height * 0.5], jnp.float32)
         xy = xy + means2d_dummy * scale
 
-    img, overflow = _composite_backend(
+    img, overflow, n_pairs = _composite_backend(
         config, cam, xy, proj.conic, proj.opacity, proj.depth, channels, aux
     )
-    return img, aux.radius, overflow
+    return img, aux.radius, overflow, n_pairs
 
 
 def render_rgbd_sil(
@@ -153,7 +155,7 @@ def render_rgbd_sil(
     means2d_dummy: jax.Array | None = None,
 ) -> RenderOutput:
     """Fused RGB + depth + silhouette + depth^2 render (six channels)."""
-    img, radii, overflow = render_gaussians(
+    img, radii, overflow, n_pairs = render_gaussians(
         cam,
         means3d,
         rgb_colors,
@@ -172,4 +174,5 @@ def render_rgbd_sil(
         depth_sq=img[5],
         radii=radii,
         overflow=overflow,
+        n_pairs=n_pairs,
     )

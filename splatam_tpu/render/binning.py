@@ -46,6 +46,28 @@ def depth_bits_for(num_tiles: int) -> int:
     return min(bits, 22)
 
 
+def segment_spread(values: jax.Array, seg_starts: jax.Array, out_len: int) -> jax.Array:
+    """Spread per-segment int values over their segments: out[j] = values[k]
+    for j in [seg_starts[k], seg_starts[k+1]).
+
+    Random gathers cost ~7ms per million elements on TPU; this delta-scatter
+    + cumsum form costs one N-row scatter and one vectorized cumsum instead
+    (exact for integers via telescoping). values: [N, M] int32 (or [N]),
+    seg_starts: [N] int32 monotonic (equal starts = empty segments, the
+    later value wins, matching the marker-cumsum convention).
+    """
+    squeeze = values.ndim == 1
+    if squeeze:
+        values = values[:, None]
+    deltas = values - jnp.concatenate(
+        [jnp.zeros((1, values.shape[1]), values.dtype), values[:-1]], axis=0
+    )
+    spread = jnp.zeros((out_len, values.shape[1]), values.dtype)
+    spread = spread.at[seg_starts].add(deltas, mode="drop")
+    out = jnp.cumsum(spread, axis=0)
+    return out[:, 0] if squeeze else out
+
+
 def build_bins(
     proj: Projected,
     aux: ProjectedAux,
@@ -65,30 +87,42 @@ def build_bins(
     total = offsets[-1] + counts[-1]
     overflow = jnp.maximum(total - pair_cap, 0)
 
-    # Recover slot -> gaussian: drop a marker at each segment start, cumsum.
-    marks = jnp.zeros((pair_cap,), jnp.int32)
-    marks = marks.at[offsets].add(1, mode="drop")
-    g_of_p = jnp.cumsum(marks) - 1  # [PAIR_CAP]
+    n = proj.depth.shape[0]
+    # Per-gaussian quantities packed once; spread over pair slots without
+    # random gathers (segment-constant along the slot axis).
+    z = jnp.clip(proj.depth, NEAR_CLIP, far)
+    log_span = math.log(far / NEAR_CLIP)
+    qdepth = jnp.clip(
+        (jnp.log(z / NEAR_CLIP) / log_span * qmax).astype(jnp.int32), 0, qmax
+    )
+    per_gauss = jnp.stack(
+        [
+            jnp.arange(n, dtype=jnp.int32),  # gaussian id
+            offsets.astype(jnp.int32),
+            jnp.maximum(rect_w, 1),
+            aux.rect_min[:, 0],
+            aux.rect_min[:, 1],
+            qdepth,
+        ],
+        axis=1,
+    )
+    seg = segment_spread(per_gauss, offsets.astype(jnp.int32), pair_cap)
+    g = seg[:, 0]
+    seg_off = seg[:, 1]
+    w = seg[:, 2]
+    rmin_x = seg[:, 3]
+    rmin_y = seg[:, 4]
+    q = seg[:, 5]
 
     slot = jnp.arange(pair_cap, dtype=jnp.int32)
     valid = slot < total
-    g = jnp.clip(g_of_p, 0, proj.depth.shape[0] - 1)
-
-    j = slot - offsets[g]
-    w = jnp.maximum(rect_w[g], 1)
+    j = slot - seg_off
     # Integer div/mod has no TPU hardware support (expands to very slow op
     # sequences); rect extents are tiny so exact float math is safe.
     jf = j.astype(jnp.float32)
     tdy = jnp.floor(jf / w.astype(jnp.float32)).astype(jnp.int32)
     tdx = j - tdy * w
-    tx = aux.rect_min[g, 0] + tdx
-    ty = aux.rect_min[g, 1] + tdy
-    tile = ty * grid_x + tx
-
-    z = jnp.clip(proj.depth[g], NEAR_CLIP, far)
-    log_span = math.log(far / NEAR_CLIP)
-    q = (jnp.log(z / NEAR_CLIP) / log_span * qmax).astype(jnp.int32)
-    q = jnp.clip(q, 0, qmax)
+    tile = (rmin_y + tdy) * grid_x + rmin_x + tdx
 
     key = (tile << bits) | q
     key = jnp.where(valid, key, jnp.int32(2**31 - 1))
@@ -121,15 +155,22 @@ def padded_layout(bins: Bins, num_tiles: int, pad_cap: int, align: int = 128):
     pad_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(pad_lens).astype(jnp.int32)]
     )
-    # padded slot -> owning tile via segment-start markers + cumsum
-    marks = jnp.zeros((pad_cap,), jnp.int32).at[pad_start[:-1]].add(1, mode="drop")
-    tile_of = jnp.cumsum(marks) - 1
-    tile_of = jnp.clip(tile_of, 0, num_tiles - 1)
-    slot = jnp.arange(pad_cap, dtype=jnp.int32)
-    rank = slot - pad_start[tile_of]
-    valid = (rank < lens[tile_of]) & (slot < pad_start[-1])
-    src = jnp.clip(bins.tile_start[tile_of] + rank, 0, bins.pair_gauss.shape[0] - 1)
-    pad_gauss = jnp.where(valid, bins.pair_gauss[src], 0)
+    # Scatter sorted pairs directly to their padded destinations: for the
+    # sorted pair at position p in tile t, dst = p + (pad_start[t] -
+    # tile_start[t]). The per-tile shift is segment-constant over the
+    # sorted array, so one spread + one scatter does it — no random
+    # gathers at all.
+    pair_cap = bins.pair_gauss.shape[0]
+    shift = segment_spread(
+        (pad_start[:-1] - bins.tile_start[:-1]).astype(jnp.int32),
+        bins.tile_start[:-1],
+        pair_cap,
+    )
+    pos = jnp.arange(pair_cap, dtype=jnp.int32)
+    dst = jnp.where(pos < bins.n_pairs, pos + shift, pad_cap)
+    pad_gauss = (
+        jnp.zeros((pad_cap,), jnp.int32).at[dst].set(bins.pair_gauss, mode="drop")
+    )
     return pad_gauss, pad_start, lens
 
 

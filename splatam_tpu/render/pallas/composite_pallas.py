@@ -140,18 +140,34 @@ def _fwd_kernel(grid_x: int, ch: int, pad_start_ref, lens_ref, attrs_hbm,
     nc0 = jnp.zeros((PIX, 1), jnp.float32)
     n_chunks = pl.cdiv(num, C)
 
+    def chunk_dma(i):
+        slot = jax.lax.rem(i, 2)
+        return pltpu.make_async_copy(
+            attrs_hbm.at[:, pl.ds(pl.multiple_of(s + i * C, C), C)],
+            scratch.at[slot],
+            sem.at[slot],
+        )
+
+    # Double buffering: chunk i+1 streams in while chunk i composites.
+    @pl.when(n_chunks > 0)
+    def _():
+        chunk_dma(0).start()
+
     def cond(carry):
-        i, *_ = carry
-        return i < n_chunks
+        cursor, *_ = carry
+        return cursor < n_chunks
 
     def body(carry):
-        i, t_col, done_col, nc_col, acc = carry
-        dma = pltpu.make_async_copy(
-            attrs_hbm.at[:, pl.ds(pl.multiple_of(s + i * C, C), C)], scratch, sem
-        )
-        dma.start()
-        dma.wait()
-        a = scratch[:, :]
+        cursor, processed, t_col, done_col, nc_col, acc = carry
+        i = processed
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n_chunks)
+        def _():
+            chunk_dma(i + 1).start()
+
+        chunk_dma(i).wait()
+        a = scratch[slot, :, :]
         q = _alpha_block(a, i * C, num, ox, oy, pxc, pyc, lane_idx)
 
         ae = jnp.where(q["skip"], 0.0, q["alpha"])
@@ -178,12 +194,18 @@ def _fwd_kernel(grid_x: int, ch: int, pad_start_ref, lens_ref, attrs_hbm,
         kplus = jnp.where(applied, (lane_idx + i * C + 1).astype(jnp.float32), 0.0)
         nc_col = jnp.maximum(nc_col, jnp.max(kplus, axis=1, keepdims=True))
         all_done = jnp.min(done_col) > 0.5
-        i = jnp.where(all_done, n_chunks, i + 1)
-        return (i, t_col, done_col, nc_col, acc)
+        cursor = jnp.where(all_done, n_chunks, i + 1)
+        return (cursor, i + 1, t_col, done_col, nc_col, acc)
 
-    _, t_col, _, nc_col, acc = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), t0, done0, nc0, acc0)
+    _, processed, t_col, _, nc_col, acc = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), t0, done0, nc0, acc0)
     )
+
+    # Early exit may leave one prefetched chunk in flight; drain it.
+    @pl.when(processed < n_chunks)
+    def _():
+        chunk_dma(processed).wait()
+
     out_ref[0, :ch, :] = acc
     out_ref[0, ch:ch + 1, :] = _col_to_row(t_col)
     out_ref[0, ch + 1:ch + 2, :] = _col_to_row(nc_col)
@@ -205,8 +227,8 @@ def composite_forward_pallas(attrs16, pad_start, lens, grid_x, num_tiles, ch):
                 (1, ch + 2, PIX), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((ATTR_W, C), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.VMEM((2, ATTR_W, C), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((num_tiles, ch + 2, PIX), jnp.float32),
@@ -241,39 +263,56 @@ def _bwd_kernel(grid_x: int, ch: int, pad_start_ref, lens_ref, attrs_hbm,
     nc_max = jnp.max(gscratch[ch + 1:ch + 2, :]).astype(jnp.int32)
     n_chunks = pl.cdiv(nc_max, C)
 
+    def chunk_dma(i):
+        slot = jax.lax.rem(i, 2)
+        return pltpu.make_async_copy(
+            attrs_hbm.at[:, pl.ds(pl.multiple_of(s + i * C, C), C)],
+            scratch.at[slot],
+            sem.at[slot],
+        )
+
+    def out_dma(i):
+        slot = jax.lax.rem(i, 2)
+        return pltpu.make_async_copy(
+            dscratch.at[slot],
+            dattr_out.at[:, pl.ds(pl.multiple_of(s + i * C, C), C)],
+            dsem.at[slot],
+        )
+
+    # Double buffering (reverse walk): prefetch chunk i-1 while computing i;
+    # grad writes stream out asynchronously on alternating buffers.
+    @pl.when(n_chunks > 0)
+    def _():
+        chunk_dma(n_chunks - 1).start()
+
     def cond(carry):
         i, *_ = carry
         return i >= 0
 
     def body(carry):
         i, t_end, v_end = carry
-        dma = pltpu.make_async_copy(
-            attrs_hbm.at[:, pl.ds(pl.multiple_of(s + i * C, C), C)], scratch, sem
-        )
-        dma.start()
-        dma.wait()
-        a = scratch[:, :]
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i - 1 >= 0)
+        def _():
+            chunk_dma(i - 1).start()
+
+        chunk_dma(i).wait()
+        a = scratch[slot, :, :]
         q = _alpha_block(a, i * C, num, ox, oy, pxc, pyc, lane_idx)
         applied = ~q["skip"] & ((lane_idx + i * C + 1).astype(jnp.float32) <= nc_col)
 
         om = jnp.where(applied, 1.0 - q["alpha"], 1.0)
-        s_rev = _revcumprod_lanes(om, lane_idx)  # prod_{j>=c}
-        t_before = t_end / s_rev  # exact for applied entries
-        weight = jnp.where(applied, q["alpha"] * t_before, 0.0)  # (PIX, C)
-
         chan = a[6:6 + ch, :]  # (ch, C)
         # u[p,c] = sum_ch chan[ch,c] gacc[ch,p]
         u = jax.lax.dot_general(
             gacc, chan, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (PIX, C)
-        # dL/dchan[ch,c] = sum_p weight[p,c] gacc[ch,p]
-        dchan = jax.lax.dot_general(
-            gacc, weight, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (ch, C)
 
-        # v_c = om_c v_{c+1} + alpha_c u_c (applied) via reversed affine scan.
+        # v_c = om_c v_{c+1} + alpha_c u_c (applied) via reversed affine
+        # scan; its multiplier accumulator doubles as the reverse cumprod
+        # s_rev[c] = prod_{j>=c} om_j, saving a separate scan.
         bvec = jnp.where(applied, q["alpha"] * u, 0.0)
         m_acc = om
         b_acc = bvec
@@ -285,8 +324,17 @@ def _bwd_kernel(grid_x: int, ch: int, pad_start_ref, lens_ref, attrs_hbm,
             b_acc = b_acc + m_acc * jnp.where(valid, b_roll, 0.0)
             m_acc = m_acc * jnp.where(valid, m_roll, 1.0)
             shift *= 2
+        s_rev = m_acc  # prod_{j>=c} om_j
         v_inc = m_acc * v_end + b_acc  # (PIX, C)
         v_next = jnp.where(lane_idx < C - 1, pltpu.roll(v_inc, C - 1, 1), v_end)
+
+        t_before = t_end / s_rev  # exact for applied entries
+        weight = jnp.where(applied, q["alpha"] * t_before, 0.0)  # (PIX, C)
+        # dL/dchan[ch,c] = sum_p weight[p,c] gacc[ch,p]
+        dchan = jax.lax.dot_general(
+            gacc, weight, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (ch, C)
 
         dalpha = jnp.where(applied, (u - v_next) * t_before, 0.0)
         not_clamped = q["alpha_un"] <= ALPHA_MAX
@@ -303,18 +351,20 @@ def _bwd_kernel(grid_x: int, ch: int, pad_start_ref, lens_ref, attrs_hbm,
         dcon_b = jnp.sum(dpower * (-dx * dy), axis=0, keepdims=True)
         dcon_c = jnp.sum(dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
 
-        dscratch[:, :] = jnp.concatenate(
+        # Wait for the write that used this buffer two chunks ago, refill,
+        # and stream it out without blocking the next chunk's compute.
+        @pl.when(i + 2 <= n_chunks - 1)
+        def _():
+            out_dma(i + 2).wait()
+
+        dscratch[slot, :, :] = jnp.concatenate(
             [
                 dxy_x, dxy_y, dcon_a, dcon_b, dcon_c, dopa, dchan,
                 jnp.zeros((ATTR_W - 6 - ch, C), jnp.float32),
             ],
             axis=0,
         )
-        out_dma = pltpu.make_async_copy(
-            dscratch, dattr_out.at[:, pl.ds(pl.multiple_of(s + i * C, C), C)], dsem
-        )
-        out_dma.start()
-        out_dma.wait()
+        out_dma(i).start()
 
         t_end = t_end / s_rev[:, 0:1]
         v_end = v_inc[:, 0:1]
@@ -322,6 +372,15 @@ def _bwd_kernel(grid_x: int, ch: int, pad_start_ref, lens_ref, attrs_hbm,
 
     v0 = jnp.zeros((PIX, 1), jnp.float32)
     jax.lax.while_loop(cond, body, (n_chunks - 1, t_final, v0))
+
+    # Drain the last two in-flight grad writes.
+    @pl.when(n_chunks >= 1)
+    def _():
+        out_dma(0).wait()
+
+    @pl.when(n_chunks >= 2)
+    def _():
+        out_dma(1).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("grid_x", "num_tiles", "ch"))
@@ -341,12 +400,12 @@ def composite_backward_pallas(attrs16, pad_start, lens, state, g_acc, grid_x,
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[
-                pltpu.VMEM((ATTR_W, C), jnp.float32),
+                pltpu.VMEM((2, ATTR_W, C), jnp.float32),
                 pltpu.VMEM((ch + 2, PIX), jnp.float32),
-                pltpu.VMEM((ATTR_W, C), jnp.float32),
+                pltpu.VMEM((2, ATTR_W, C), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(attrs16.shape, jnp.float32),
@@ -360,12 +419,15 @@ def composite_backward_pallas(attrs16, pad_start, lens, state, g_acc, grid_x,
 # ---------------------------------------------------------------------------
 
 
-def _pack_attrs16(xy, conic, opacity, channels):
+def _pack_attrs_rows(xy, conic, opacity, channels):
+    """[N, 16] row-major attrs (row gathers are far cheaper than axis-1
+    gathers on TPU; the [16, P_pad] kernel layout comes from one transpose)."""
     ch = channels.shape[1]
-    rows = [xy[:, 0], xy[:, 1], conic[:, 0], conic[:, 1], conic[:, 2], opacity]
-    rows += [channels[:, i] for i in range(ch)]
-    rows += [jnp.zeros_like(opacity)] * (ATTR_W - 6 - ch)
-    return jnp.stack(rows, axis=0)  # [16, N]
+    cols = [xy, conic, opacity[:, None], channels]
+    pad = ATTR_W - 6 - ch
+    if pad:
+        cols.append(jnp.zeros((opacity.shape[0], pad), jnp.float32))
+    return jnp.concatenate(cols, axis=1)  # [N, 16]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -378,8 +440,8 @@ def _composite_core(xy, conic, opacity, channels, pad_data, grid_x, num_tiles, c
 
 def _composite_core_fwd(xy, conic, opacity, channels, pad_data, grid_x, num_tiles, ch):
     pad_gauss, pad_start, lens = pad_data
-    attrs16 = _pack_attrs16(xy, conic, opacity, channels)
-    padded16 = attrs16[:, pad_gauss]  # [16, P_pad]
+    attrs_rows = _pack_attrs_rows(xy, conic, opacity, channels)
+    padded16 = attrs_rows[pad_gauss].T  # row gather, then one transpose
     out = composite_forward_pallas(padded16, pad_start, lens, grid_x, num_tiles, ch)
     res = (padded16, pad_gauss, pad_start, lens, out, xy.shape[0])
     return out[:, :ch, :], res
@@ -404,12 +466,12 @@ def _composite_core_bwd(grid_x, num_tiles, ch, res, g_acc):
     valid = written & (slot < pad_start[-1])
     grads = jnp.where(valid[None, :], dattrs16, 0.0)
     d_all = (
-        jnp.zeros((ATTR_W, n_gauss), jnp.float32).at[:, pad_gauss].add(grads)
+        jnp.zeros((n_gauss, ATTR_W), jnp.float32).at[pad_gauss].add(grads.T)
     )
-    d_xy = d_all[0:2].T
-    d_con = d_all[2:5].T
-    d_opa = d_all[5]
-    d_chan = d_all[6:6 + ch].T
+    d_xy = d_all[:, 0:2]
+    d_con = d_all[:, 2:5]
+    d_opa = d_all[:, 5]
+    d_chan = d_all[:, 6:6 + ch]
     pd_cot = (
         np.zeros(pad_gauss.shape, jax.dtypes.float0),
         np.zeros(pad_start.shape, jax.dtypes.float0),

@@ -225,8 +225,16 @@ class SLAMRuntime:
             b *= 4
         return min(b, self.gm.capacity)
 
-    def _phase_rcfg(self, bucket: int) -> RenderConfig:
-        pair_cap = max(1 << 16, min(2 * bucket, int(self.config["tpu"]["pair_cap"])))
+    def _phase_rcfg(self, bucket: int, n_active: int | None = None) -> RenderConfig:
+        # Pair buffers scale with the LIVE map (measured ~1.7-1.9 tiles per
+        # visible gaussian), at 128k granularity so the expansion+sort don't
+        # pay the power-of-two bucket's up-to-2x slack. Overflow telemetry
+        # warns if a scene ever exceeds the 2.0x margin.
+        if n_active is None:
+            n_active = bucket
+        gran = 1 << 17
+        budget = ((int(n_active * 2.0) + gran - 1) // gran) * gran
+        pair_cap = max(1 << 16, min(budget, int(self.config["tpu"]["pair_cap"])))
         return RenderConfig(
             backend=self.rcfg.backend,
             pair_cap=pair_cap,
@@ -293,7 +301,8 @@ class SLAMRuntime:
     # -------------------------------------------------------------------
     def track_frame(self, time_idx: int, tr_color, tr_depth) -> None:
         cfg_t = self.config["tracking"]
-        bucket = self._bucket(int(self.gm.num_active()))
+        n_active = int(self.gm.num_active())
+        bucket = self._bucket(n_active)
         gm_view, _ = G.slice_prefix(self.gm, self.timestep, bucket)
         q0 = jnp.asarray(self.cam_rots[time_idx])
         t0 = jnp.asarray(self.cam_trans[time_idx])
@@ -310,7 +319,7 @@ class SLAMRuntime:
             float(cfg_t["lrs"]["cam_unnorm_rots"]),
             float(cfg_t["lrs"]["cam_trans"]),
             self.pcfg_track,
-            self._phase_rcfg(bucket),
+            self._phase_rcfg(bucket, n_active),
         )
         best_q.block_until_ready()
         self.cam_rots[time_idx] = np.asarray(best_q)
@@ -393,7 +402,8 @@ class SLAMRuntime:
             ts.append(self.cam_trans[frame_id])
 
         lrs = cfg_m["lrs"]
-        bucket = self._bucket(int(self.gm.num_active()))
+        n_active = int(self.gm.num_active())
+        bucket = self._bucket(n_active)
         gm_view, _ = G.slice_prefix(self.gm, self.timestep, bucket)
         gm2, loss_sum, ovf = steps.mapping_phase(
             gm_view,
@@ -406,7 +416,7 @@ class SLAMRuntime:
             self.cam,
             num_iters,
             self.pcfg_map,
-            self._phase_rcfg(bucket),
+            self._phase_rcfg(bucket, n_active),
             self.prune_cfg,
             (
                 float(lrs["means3D"]),

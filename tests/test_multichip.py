@@ -60,7 +60,7 @@ def test_sharded_loss_matches_single_device():
     # Unsharded reference loss (same formula as _local_render_loss).
     gm = GaussianMap(*params, active)
     means_cam, rots_cam = transform_to_frame(gm, q, t, True, False)
-    img, _, _ = render_gaussians(
+    img, _, _, _ = render_gaussians(
         cam, means_cam, params[1], rots_cam, params[3], params[4], active, config=rcfg
     )
     valid = depth > 0

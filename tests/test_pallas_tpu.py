@@ -60,7 +60,7 @@ def test_pallas_backward_matches_tiles():
         @jax.jit
         def g(means, rgb, quats, logit, logsc, active):
             def loss(m, r, q, l, s):
-                img, _, _ = render_gaussians(CAM, m, r, q, l, s, active, config=cfg)
+                img, _, _, _ = render_gaussians(CAM, m, r, q, l, s, active, config=cfg)
                 return jnp.sum(img**2)
 
             return jax.grad(loss, argnums=(0, 1, 2, 3, 4))(

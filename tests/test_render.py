@@ -57,8 +57,8 @@ def _render_jit(config, cam):
 def test_forward_tiles_matches_naive():
     cam = make_cam()
     scene = make_scene()
-    img_n, radii_n, _ = _render_jit(NAIVE, cam)(*scene)
-    img_t, radii_t, overflow = _render_jit(TILES, cam)(*scene)
+    img_n, radii_n, _, _ = _render_jit(NAIVE, cam)(*scene)
+    img_t, radii_t, overflow, _ = _render_jit(TILES, cam)(*scene)
     assert int(overflow) == 0
     np.testing.assert_array_equal(np.asarray(radii_n), np.asarray(radii_t))
     # Depth quantization in the tile sort can swap near-equal depths; allow
@@ -89,9 +89,9 @@ def test_inactive_gaussians_excluded():
     means, colors, quats, logit_op, log_scales, active = make_scene(n=60)
     active2 = active.at[::2].set(False)
     render = _render_jit(TILES, cam)
-    img_masked, radii, _ = render(means, colors, quats, logit_op, log_scales, active2)
+    img_masked, radii, _, _ = render(means, colors, quats, logit_op, log_scales, active2)
     assert np.all(np.asarray(radii)[::2] == 0)
-    img_subset, _, _ = render_gaussians(
+    img_subset, _, _, _ = render_gaussians(
         cam,
         means[1::2],
         colors[1::2],
@@ -107,7 +107,7 @@ def test_inactive_gaussians_excluded():
 def _loss_fn(config, cam, target):
     @jax.jit
     def loss(means, colors, quats, logit_op, log_scales, active):
-        img, _, _ = render_gaussians(
+        img, _, _, _ = render_gaussians(
             cam, means, colors, quats, logit_op, log_scales, active, config=config
         )
         return jnp.sum(jnp.abs(img[:3] - target)) + jnp.sum(img[3] * 0.1)
@@ -150,7 +150,7 @@ def test_oracle_gradient_matches_float64_finite_differences():
         )
 
         def loss(means, colors, quats, logit_op, log_scales, active):
-            img, _, _ = render_gaussians(
+            img, _, _, _ = render_gaussians(
                 cam, means, colors, quats, logit_op, log_scales, active,
                 config=RenderConfig(backend="naive"),
             )
@@ -185,7 +185,7 @@ def test_means2d_dummy_gradient():
     dummy = jnp.zeros((40, 2), jnp.float32)
 
     def loss(dummy):
-        img, _, _ = render_gaussians(
+        img, _, _, _ = render_gaussians(
             cam, *scene, config=TILES, means2d_dummy=dummy
         )
         return jnp.sum(img[:3] ** 2)
@@ -199,5 +199,5 @@ def test_pair_overflow_reported():
     cam = make_cam()
     scene = make_scene(n=300)
     cfg = RenderConfig(backend="tiles", pair_cap=64, tile_k_max=64)
-    _, _, overflow = render_gaussians(cam, *scene, config=cfg)
+    _, _, overflow, _ = render_gaussians(cam, *scene, config=cfg)
     assert int(overflow) > 0
