@@ -88,31 +88,31 @@ def build_bins(
     overflow = jnp.maximum(total - pair_cap, 0)
 
     n = proj.depth.shape[0]
-    # Per-gaussian quantities packed once; spread over pair slots without
-    # random gathers (segment-constant along the slot axis).
+    if pair_cap >= 1 << 23:
+        raise ValueError("pair_cap must be < 2^23 (offset|rect_w bit packing)")
+    # Per-gaussian quantities, bit-packed into three int32 columns and
+    # spread over pair slots as SEPARATE single-column delta-scatters:
+    # multi-column scatters cost ~3x a single column on TPU, single
+    # columns ~7.8ms + ~4.6ms each per million indices.
     z = jnp.clip(proj.depth, NEAR_CLIP, far)
     log_span = math.log(far / NEAR_CLIP)
     qdepth = jnp.clip(
         (jnp.log(z / NEAR_CLIP) / log_span * qmax).astype(jnp.int32), 0, qmax
     )
-    per_gauss = jnp.stack(
-        [
-            jnp.arange(n, dtype=jnp.int32),  # gaussian id
-            offsets.astype(jnp.int32),
-            jnp.maximum(rect_w, 1),
-            aux.rect_min[:, 0],
-            aux.rect_min[:, 1],
-            qdepth,
-        ],
-        axis=1,
-    )
-    seg = segment_spread(per_gauss, offsets.astype(jnp.int32), pair_cap)
-    g = seg[:, 0]
-    seg_off = seg[:, 1]
-    w = seg[:, 2]
-    rmin_x = seg[:, 3]
-    rmin_y = seg[:, 4]
-    q = seg[:, 5]
+    # key_base: key of the gaussian's rect-min tile (tile deltas add on top).
+    key_base = (
+        (aux.rect_min[:, 1] * grid_x + aux.rect_min[:, 0]) << bits
+    ) | qdepth
+    # Overflowing offsets belong to dropped pairs; clamping keeps the
+    # packing in range while leaving every valid slot's value exact.
+    off_clamped = jnp.minimum(offsets, pair_cap).astype(jnp.int32)
+    off_w = off_clamped | (jnp.clip(jnp.maximum(rect_w, 1), 1, 127) << 23)
+    starts = off_clamped
+    g = segment_spread(jnp.arange(n, dtype=jnp.int32), starts, pair_cap)
+    seg_ow = segment_spread(off_w, starts, pair_cap)
+    seg_base = segment_spread(key_base, starts, pair_cap)
+    seg_off = seg_ow & ((1 << 23) - 1)
+    w = seg_ow >> 23
 
     slot = jnp.arange(pair_cap, dtype=jnp.int32)
     valid = slot < total
@@ -122,9 +122,7 @@ def build_bins(
     jf = j.astype(jnp.float32)
     tdy = jnp.floor(jf / w.astype(jnp.float32)).astype(jnp.int32)
     tdx = j - tdy * w
-    tile = (rmin_y + tdy) * grid_x + rmin_x + tdx
-
-    key = (tile << bits) | q
+    key = seg_base + ((tdy * grid_x + tdx) << bits)
     key = jnp.where(valid, key, jnp.int32(2**31 - 1))
 
     sorted_key, pair_gauss = jax.lax.sort_key_val(key, g, is_stable=True)
