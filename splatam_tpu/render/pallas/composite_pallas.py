@@ -63,16 +63,6 @@ def _cumprod_lanes(x, lane_idx):
     return x
 
 
-def _revcumprod_lanes(x, lane_idx):
-    """s[c] = prod_{j>=c} x[j] along lanes via doubling."""
-    shift = 1
-    while shift < C:
-        rolled = pltpu.roll(x, C - shift, 1)  # circular; masked below
-        x = x * jnp.where(lane_idx < C - shift, rolled, 1.0)
-        shift *= 2
-    return x
-
-
 def _cummax_lanes(x, lane_idx):
     shift = 1
     while shift < C:
