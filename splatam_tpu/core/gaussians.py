@@ -127,6 +127,26 @@ def compact(gm: GaussianMap, timestep: jax.Array):
     )
 
 
+@jax.jit
+def compact_with(gm: GaussianMap, timestep: jax.Array, extras: tuple):
+    """compact() that also reorders auxiliary per-slot arrays (e.g. Adam
+    moments, densification stats) with the same permutation."""
+    order = jnp.argsort(jnp.logical_not(gm.active), stable=True)
+
+    def g(a):
+        return a[order]
+
+    new_gm = GaussianMap(
+        means3d=g(gm.means3d),
+        rgb_colors=g(gm.rgb_colors),
+        unnorm_rotations=g(gm.unnorm_rotations),
+        logit_opacities=g(gm.logit_opacities),
+        log_scales=g(gm.log_scales),
+        active=g(gm.active),
+    )
+    return new_gm, timestep[order], jax.tree.map(g, extras)
+
+
 def slice_prefix(gm: GaussianMap, timestep: jax.Array, n: int):
     """View of the first n slots (requires a compacted map)."""
     return (

@@ -25,7 +25,7 @@ from splatam_tpu.data import get_dataset, load_dataset_config
 from splatam_tpu.eval.evaluate import eval_sequence
 from splatam_tpu.io.params_io import save_params, save_params_ckpt
 from splatam_tpu.render.api import RenderConfig
-from splatam_tpu.slam import steps
+from splatam_tpu.slam import optim, steps
 from splatam_tpu.slam.config import backfill_defaults
 from splatam_tpu.slam.keyframes import keyframe_selection_overlap
 
@@ -377,17 +377,7 @@ class SLAMRuntime:
         print(f"\nSelected Keyframes at Frame {time_idx}: {selected_time_idx}")
         return selected
 
-    def map_frame(self, time_idx: int, selected: list) -> None:
-        cfg_m = self.config["mapping"]
-        num_iters = int(cfg_m["num_iters"])
-        if num_iters == 0:
-            return
-        if cfg_m.get("use_gaussian_splatting_densification", False):
-            raise NotImplementedError(
-                "3DGS gradient densification during mapping is not wired into "
-                "the jitted mapping loop yet (use the offline trainer)."
-            )
-
+    def _mapping_inputs(self, time_idx: int, selected: list, num_iters: int):
         slots, qs, ts = [], [], []
         for _ in range(num_iters):
             rand_idx = np.random.randint(0, len(selected))
@@ -400,36 +390,150 @@ class SLAMRuntime:
                 slots.append(self.keyframe_list[sel]["slot"])
             qs.append(self.cam_rots[frame_id])
             ts.append(self.cam_trans[frame_id])
-
-        lrs = cfg_m["lrs"]
-        n_active = int(self.gm.num_active())
-        bucket = self._bucket(n_active)
-        gm_view, _ = G.slice_prefix(self.gm, self.timestep, bucket)
-        gm2, loss_sum, ovf = steps.mapping_phase(
-            gm_view,
-            self.kf_colors,
-            self.kf_depths,
+        return (
             jnp.asarray(np.array(slots, np.int32)),
             jnp.asarray(np.stack(qs)),
             jnp.asarray(np.stack(ts)),
+        )
+
+    def _run_mapping_chunk(self, gm_view, opt_state, gsvars, inputs, num_iters,
+                           start_iter, rcfg, lrs, track_stats):
+        return steps.mapping_phase(
+            gm_view,
+            self.kf_colors,
+            self.kf_depths,
+            *inputs,
             self.scene_radius,
             self.cam,
             num_iters,
             self.pcfg_map,
-            self._phase_rcfg(bucket, n_active),
+            rcfg,
             self.prune_cfg,
-            (
-                float(lrs["means3D"]),
-                float(lrs["rgb_colors"]),
-                float(lrs["unnorm_rotations"]),
-                float(lrs["logit_opacities"]),
-                float(lrs["log_scales"]),
-            ),
+            lrs,
+            opt_state,
+            gsvars,
+            jnp.int32(start_iter),
+            track_stats,
         )
-        gm2.means3d.block_until_ready()
-        self.gm = G.write_prefix(self.gm, gm2)
-        if int(ovf) > 0:
-            print(f"[splatam-tpu] WARNING: pair buffer overflow ({int(ovf)}) in mapping")
+
+    def map_frame(self, time_idx: int, selected: list) -> None:
+        cfg_m = self.config["mapping"]
+        num_iters = int(cfg_m["num_iters"])
+        if num_iters == 0:
+            return
+        lrs_d = cfg_m["lrs"]
+        lrs = (
+            float(lrs_d["means3D"]),
+            float(lrs_d["rgb_colors"]),
+            float(lrs_d["unnorm_rotations"]),
+            float(lrs_d["logit_opacities"]),
+            float(lrs_d["log_scales"]),
+        )
+        use_densify = cfg_m.get("use_gaussian_splatting_densification", False)
+
+        n_active = int(self.gm.num_active())
+        bucket = self._bucket(n_active)
+        gm_view, _ = G.slice_prefix(self.gm, self.timestep, bucket)
+        rcfg = self._phase_rcfg(bucket, n_active)
+        params_of = lambda g: (
+            g.means3d, g.rgb_colors, g.unnorm_rotations,
+            g.logit_opacities, g.log_scales,
+        )
+        opt_state = optim.adam_init(params_of(gm_view))
+        zeros = jnp.zeros((gm_view.capacity,), jnp.float32)
+        gsvars = (zeros, zeros, zeros)
+
+        if not use_densify:
+            inputs = self._mapping_inputs(time_idx, selected, num_iters)
+            gm2, _, _, _, ovf = self._run_mapping_chunk(
+                gm_view, opt_state, gsvars, inputs, num_iters, 0, rcfg, lrs, False
+            )
+            gm2.means3d.block_until_ready()
+            self.gm = G.write_prefix(self.gm, gm2)
+            if int(ovf) > 0:
+                print(f"[splatam-tpu] WARNING: pair buffer overflow ({int(ovf)}) in mapping")
+            return
+
+        # 3DGS gradient densification inside the mapping loop (reference
+        # scripts/splatam.py:862-867): run jitted chunks of densify_every
+        # iterations, clone/split between chunks on the full buffers.
+        from splatam_tpu.slam import steps_gs
+
+        d = cfg_m["densify_dict"]
+        dcfg = steps_gs.DensifyConfig(
+            enabled=True,
+            **{k: d[k] for k in d if k in steps_gs.DensifyConfig.__dataclass_fields__},
+        )
+        it = 0
+        rng_key = jax.random.PRNGKey(self.config["seed"] * 9973 + time_idx)
+        while it < num_iters:
+            n = min(dcfg.densify_every, num_iters - it)
+            inputs = self._mapping_inputs(time_idx, selected, n)
+            gm_view, opt_state, gsvars, _, ovf = self._run_mapping_chunk(
+                gm_view, opt_state, gsvars, inputs, n, it, rcfg, lrs, True
+            )
+            it += n
+            if int(ovf) > 0:
+                print(f"[splatam-tpu] WARNING: pair buffer overflow ({int(ovf)}) in mapping")
+            if (
+                it <= dcfg.stop_after
+                and it >= dcfg.start_after
+                and it % dcfg.densify_every == 0
+            ):
+                # Write the view back and densify at full capacity (clones
+                # and splits go to the free slots just past the prefix).
+                self.gm = G.write_prefix(self.gm, gm_view)
+                full_opt = optim.adam_init(params_of(self.gm))
+                full_opt = optim.AdamState(
+                    m=jax.tree.map(
+                        lambda f, v: f.at[: v.shape[0]].set(v), full_opt.m, opt_state.m
+                    ),
+                    v=jax.tree.map(
+                        lambda f, v: f.at[: v.shape[0]].set(v), full_opt.v, opt_state.v
+                    ),
+                    step=opt_state.step,
+                )
+                cap = self.gm.capacity
+                full_gsv = steps_gs.GSVariables(
+                    means2d_grad_accum=jnp.zeros((cap,), jnp.float32).at[
+                        : gsvars[0].shape[0]
+                    ].set(gsvars[0]),
+                    denom=jnp.zeros((cap,), jnp.float32).at[: gsvars[1].shape[0]].set(
+                        gsvars[1]
+                    ),
+                    max_2d_radius=jnp.zeros((cap,), jnp.float32).at[
+                        : gsvars[2].shape[0]
+                    ].set(gsvars[2]),
+                )
+                rng_key, sub = jax.random.split(rng_key)
+                gm_full, gsv_full, full_opt, d_ovf = steps_gs.densify_3dgs_step(
+                    self.gm, full_gsv, full_opt, self.scene_radius, sub,
+                    jnp.int32(it), dcfg, final=(it == dcfg.stop_after),
+                )
+                if int(d_ovf) > 0:
+                    self._grow(self.gm.capacity * 2)
+                    print("[splatam-tpu] WARNING: 3DGS densify overflow; grew capacity")
+                    continue
+                # Re-prefix (pruning during the chunk can punch holes that
+                # splits only partially refill), carrying Adam moments and
+                # stats through the same permutation.
+                gm_full, self.timestep, (opt_m, opt_v, gsv_t) = G.compact_with(
+                    gm_full, self.timestep,
+                    (full_opt.m, full_opt.v, tuple(gsv_full)),
+                )
+                self.gm = gm_full
+                n_active = int(self.gm.num_active())
+                bucket = self._bucket(n_active)
+                gm_view, _ = G.slice_prefix(self.gm, self.timestep, bucket)
+                rcfg = self._phase_rcfg(bucket, n_active)
+                opt_state = optim.AdamState(
+                    m=jax.tree.map(lambda x: x[:bucket], opt_m),
+                    v=jax.tree.map(lambda x: x[:bucket], opt_v),
+                    step=full_opt.step,
+                )
+                gsvars = tuple(x[:bucket] for x in gsv_t)
+        gm_view.means3d.block_until_ready()
+        self.gm = G.write_prefix(self.gm, gm_view)
 
     # -------------------------------------------------------------------
     def export_params(self) -> dict:

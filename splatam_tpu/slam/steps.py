@@ -97,6 +97,7 @@ def get_loss(
     tracking: bool,
     mapping: bool,
     do_ba: bool = False,
+    means2d_dummy: jax.Array | None = None,
 ):
     """Reference get_loss (scripts/splatam.py:214-347), fused renders."""
     if tracking:
@@ -122,6 +123,7 @@ def get_loss(
         log_scales,
         gm.active,
         config=rcfg,
+        means2d_dummy=means2d_dummy,
     )
 
     depth = out.depth
@@ -284,7 +286,9 @@ def _prune_mask(params, active, it, scene_radius, pc: PruneConfig):
 
 @partial(
     jax.jit,
-    static_argnames=("cam", "num_iters", "pcfg", "rcfg", "prune_cfg", "lrs"),
+    static_argnames=(
+        "cam", "num_iters", "pcfg", "rcfg", "prune_cfg", "lrs", "track_stats"
+    ),
 )
 def mapping_phase(
     gm: GaussianMap,
@@ -300,10 +304,20 @@ def mapping_phase(
     rcfg: RenderConfig,
     prune_cfg: PruneConfig,
     lrs: tuple,  # (lr_means, lr_rgb, lr_rot, lr_opac, lr_scales) static floats
+    opt_state: optim.AdamState,
+    gsvars: tuple,  # (means2d_grad_accum, denom, max_2d_radius) [CAP] each
+    start_iter: jax.Array = jnp.int32(0),  # absolute iter of this chunk
+    track_stats: bool = False,
 ):
-    """Whole mapping phase for one frame in one jitted fori_loop.
+    """Mapping iterations for one frame in one jitted fori_loop.
 
-    Returns (updated GaussianMap, summed loss, overflow max).
+    Resumable: takes/returns the Adam state and 3DGS densification stats so
+    the host can run the phase in chunks with clone/split densification in
+    between (parity: the prune/densify schedule inside the reference's
+    mapping loop, scripts/splatam.py:828-891). Prune/reset schedules use
+    the ABSOLUTE iteration (start_iter + i).
+
+    Returns (GaussianMap, opt_state, gsvars, summed loss, overflow max).
     """
     param_tuple = (
         gm.means3d,
@@ -314,7 +328,7 @@ def mapping_phase(
     )
     lr_tuple = tuple(jnp.float32(lr) for lr in lrs)
 
-    def loss_fn(params, active, q, t, color, depth_gt):
+    def loss_fn(params, dummy, active, q, t, color, depth_gt):
         gm_i = gm._replace(
             means3d=params[0],
             rgb_colors=params[1],
@@ -323,12 +337,19 @@ def mapping_phase(
             log_scales=params[4],
             active=active,
         )
-        return get_loss(gm_i, q, t, color, depth_gt, cam, pcfg, rcfg, False, True)
+        return get_loss(
+            gm_i, q, t, color, depth_gt, cam, pcfg, rcfg, False, True,
+            means2d_dummy=dummy,
+        )
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    if track_stats:
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+    else:
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0,), has_aux=True)
 
     def body(i, carry):
-        params, active, st, loss_sum, ovf_max = carry
+        params, active, st, gsv, loss_sum, ovf_max = carry
+        it = start_iter + i
         slot = iter_slots[i]
         color = (
             kf_colors_u8[slot].astype(jnp.float32).transpose(2, 0, 1) / 255.0
@@ -336,14 +357,26 @@ def mapping_phase(
         depth_gt = kf_depths[slot]
         q, t = iter_qs[i], iter_ts[i]
 
-        (loss, aux), grads = grad_fn(params, active, q, t, color, depth_gt)
+        dummy = jnp.zeros((gm.capacity, 2), jnp.float32)
+        (loss, aux), grad_out = grad_fn(params, dummy, active, q, t, color, depth_gt)
+        grads = grad_out[0]
+        if track_stats:
+            # 3DGS densification statistics (utils/slam_external.py:100-104).
+            d_dummy = grad_out[1]
+            seen = aux.radii > 0
+            accum, denom, max_rad = gsv
+            gsv = (
+                accum + jnp.where(seen, jnp.linalg.norm(d_dummy, axis=-1), 0.0),
+                denom + seen.astype(jnp.float32),
+                jnp.maximum(max_rad, jnp.where(seen, aux.radii.astype(jnp.float32), 0.0)),
+            )
         if prune_cfg.enabled:
-            active = _prune_mask(params, active, i, scene_radius, prune_cfg)
+            active = _prune_mask(params, active, it, scene_radius, prune_cfg)
             if prune_cfg.reset_opacities:
                 do_reset = (
-                    (i > 0)
-                    & (i % prune_cfg.reset_opacities_every == 0)
-                    & (i <= prune_cfg.stop_after)
+                    (it > 0)
+                    & (it % prune_cfg.reset_opacities_every == 0)
+                    & (it <= prune_cfg.stop_after)
                 )
                 inv_sig = jnp.log(0.01 / 0.99)  # inverse_sigmoid(0.01)
                 new_op = jnp.where(do_reset, jnp.full_like(params[3], inv_sig), params[3])
@@ -362,13 +395,15 @@ def mapping_phase(
             params,
             active,
             st,
+            gsv,
             loss_sum + loss,
             jnp.maximum(ovf_max, aux.overflow),
         )
 
-    st0 = optim.adam_init(param_tuple)
-    carry0 = (param_tuple, gm.active, st0, jnp.float32(0), jnp.int32(0))
-    params, active, _, loss_sum, ovf = jax.lax.fori_loop(0, num_iters, body, carry0)
+    carry0 = (param_tuple, gm.active, opt_state, gsvars, jnp.float32(0), jnp.int32(0))
+    params, active, st, gsv, loss_sum, ovf = jax.lax.fori_loop(
+        0, num_iters, body, carry0
+    )
     new_gm = gm._replace(
         means3d=params[0],
         rgb_colors=params[1],
@@ -377,7 +412,7 @@ def mapping_phase(
         log_scales=params[4],
         active=active,
     )
-    return new_gm, loss_sum, ovf
+    return new_gm, st, gsv, loss_sum, ovf
 
 
 # ---------------------------------------------------------------------------

@@ -64,3 +64,30 @@ def test_slam_full_tracking(tmp_path):
     metrics = rgbd_slam(config)
     assert metrics["psnr"] > 18.0, metrics
     assert metrics["ate_rmse"] < 0.05, metrics  # < 5 cm on a ~1 m trajectory
+
+
+@pytest.mark.slow
+def test_slam_with_online_3dgs_densification(tmp_path):
+    """Mapping with use_gaussian_splatting_densification=True (chunked
+    clone/split inside the per-frame mapping loop)."""
+    from splatam_tpu.slam.pipeline import rgbd_slam
+
+    seed_everything(0)
+    config = small_config(tmp_path, tracking={"use_gt_poses": True})
+    config["mapping"]["use_gaussian_splatting_densification"] = True
+    config["mapping"]["densify_dict"] = dict(
+        start_after=2,
+        remove_big_after=4,
+        stop_after=8,
+        densify_every=2,
+        grad_thresh=0.01,  # scaled for the tiny test image (grad ~ 1/(3H))
+        num_to_split_into=2,
+        removal_opacity_threshold=0.005,
+        final_removal_opacity_threshold=0.005,
+        reset_opacities=False,
+        reset_opacities_every=500,
+    )
+    config["data"]["num_frames"] = 4
+    metrics = rgbd_slam(config)
+    assert metrics["psnr"] > 18.0, metrics
+    assert np.isfinite(metrics["depth_l1"])
