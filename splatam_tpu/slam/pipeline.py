@@ -128,6 +128,9 @@ class SLAMRuntime:
     """Mutable host state for one SLAM run (useful for the live demo too)."""
 
     def __init__(self, config: dict):
+        from splatam_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache()
         self.config = config = backfill_defaults(config)
         self.output_dir = os.path.join(config["workdir"], config["run_name"])
         self.eval_dir = os.path.join(self.output_dir, "eval")
@@ -254,6 +257,28 @@ class SLAMRuntime:
         )
         print(f"[splatam-tpu] grew gaussian capacity to {new_capacity}")
 
+    def _grow_kf_store(self, extra: int = 8):
+        """Grow the device keyframe store (rare; recompiles mapping_phase).
+
+        The initial kf_cap is an estimate (num_frames // keyframe_every + 3)
+        that checkpoint-resume replays or the extra end-of-sequence keyframe
+        can exceed; growing keeps every keyframe instead of silently
+        dropping the overflow."""
+        old_cap = self.kf_colors.shape[0]
+        new_cap = old_cap + extra
+        h, w = self.kf_colors.shape[1], self.kf_colors.shape[2]
+        kc = jnp.zeros((new_cap, h, w, 3), jnp.uint8)
+        kd = jnp.zeros((new_cap, h, w), jnp.float32)
+        kc = kc.at[: old_cap - 1].set(self.kf_colors[: old_cap - 1])
+        kd = kd.at[: old_cap - 1].set(self.kf_depths[: old_cap - 1])
+        # The scratch (current-frame) slot stays the last one; carry its
+        # contents over in case a mapping phase reads it before restaging.
+        kc = kc.at[new_cap - 1].set(self.kf_colors[self.kf_scratch_slot])
+        kd = kd.at[new_cap - 1].set(self.kf_depths[self.kf_scratch_slot])
+        self.kf_colors, self.kf_depths = kc, kd
+        self.kf_scratch_slot = new_cap - 1
+        print(f"[splatam-tpu] grew keyframe store to {new_cap} slots")
+
     def _stage_keyframe(self, slot: int, color_np: np.ndarray, depth_np: np.ndarray):
         self.kf_colors = self.kf_colors.at[slot].set(
             jnp.asarray(np.clip(color_np, 0, 255).astype(np.uint8))
@@ -287,6 +312,8 @@ class SLAMRuntime:
             self.gt_w2c_all.append(np.linalg.inv(gt_pose))
             if time_idx in kf_indices:
                 slot = len(self.keyframe_list)
+                while slot >= self.kf_scratch_slot:
+                    self._grow_kf_store()
                 self._stage_keyframe(slot, color_np, depth_np)
                 self.keyframe_list.append(
                     {
@@ -663,17 +690,18 @@ def rgbd_slam(config: dict) -> dict:
             or (time_idx == rt.num_frames - 2)
         ) and (not np.isinf(gt_w2c).any()) and (not np.isnan(gt_w2c).any()):
             slot = len(rt.keyframe_list)
-            if slot < rt.kf_scratch_slot:
-                rt._stage_keyframe(slot, color_np, depth_np)
-                rt.keyframe_list.append(
-                    {
-                        "id": time_idx,
-                        "slot": slot,
-                        "q": rt.cam_rots[time_idx].copy(),
-                        "t": rt.cam_trans[time_idx].copy(),
-                    }
-                )
-                rt.keyframe_time_indices.append(time_idx)
+            while slot >= rt.kf_scratch_slot:
+                rt._grow_kf_store()
+            rt._stage_keyframe(slot, color_np, depth_np)
+            rt.keyframe_list.append(
+                {
+                    "id": time_idx,
+                    "slot": slot,
+                    "q": rt.cam_rots[time_idx].copy(),
+                    "t": rt.cam_trans[time_idx].copy(),
+                }
+            )
+            rt.keyframe_time_indices.append(time_idx)
 
         if (
             time_idx % config["checkpoint_interval"] == 0
