@@ -174,7 +174,7 @@ def main():
     def attrs_fn(m):
         p, a = proj_fwd(m)
         bins = B.build_bins(p, a, w, h, pair_cap, far=cam.far)
-        pad_gauss, pad_start, lens = B.padded_layout(bins, num_tiles, pad_cap, align=CP.C)
+        pad_gauss, pad_start, lens, dst = B.padded_layout(bins, num_tiles, pad_cap, align=CP.C)
         ones = jnp.ones_like(p.depth)
         channels = jnp.concatenate(
             [colors, jnp.stack([p.depth, ones, p.depth * p.depth], -1)], axis=-1)

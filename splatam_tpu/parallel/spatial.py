@@ -2,15 +2,19 @@
 
 The reference is strictly single-GPU (SURVEY.md section 2.2), so no
 collective layout exists to port; this module is the TPU-native scaling
-axis this framework adds: the image is sharded into row blocks across a
-1-D mesh, the Gaussian map is replicated, every device renders and
-differentiates its own sub-image with a cy-shifted camera, and per-Gaussian
-gradients are combined with a single psum over ICI. Losses that need
-cross-row context (SSIM windows) are computed with sum-form L1 terms here;
-windowed losses get halo exchange in a later revision.
+axis this framework adds. The image is split into row blocks across a 1-D
+mesh: the Gaussian map is replicated, every device projects/bins/composites
+its own row block with a cy-shifted camera, and the partial images are
+all-gathered so the LOSS math (silhouette masks, outlier median, SSIM
+windows) runs bit-identically to the single-chip path on every device. The
+gather is a few MB per step and rides ICI; its transpose scatters pixel
+cotangents back to the owning shard and the per-Gaussian parameter
+gradients come out of shard_map's psum automatically.
 
-Used by __graft_entry__.dryrun_multichip and available as an opt-in
-"spatial" mode for large-resolution mapping.
+Used by steps.get_loss / steps.densify_step when a mesh is passed (wired
+from config["tpu"]["spatial_shards"] in slam/pipeline.py) and by
+__graft_entry__.dryrun_multichip, which runs the REAL tracking and mapping
+phase programs over the mesh.
 """
 from __future__ import annotations
 
@@ -18,13 +22,10 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from splatam_tpu.core.camera import Camera
-from splatam_tpu.core.gaussians import GaussianMap
-from splatam_tpu.render.api import RenderConfig, render_gaussians
-from splatam_tpu.slam import optim
-from splatam_tpu.slam.steps import transform_to_frame
+from splatam_tpu.render.api import RenderConfig, RenderOutput, render_gaussians
 
 AXIS = "rows"
 
@@ -35,75 +36,93 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(devs[:n], (AXIS,))
 
 
-def _local_render_loss(gm_arrays, q, t, color_rows, depth_rows, cam_local: Camera,
-                       fx, fy, cx, cy_local, rcfg: RenderConfig):
-    means3d, rgb, rots, logit_op, log_scales, active = gm_arrays
-    gm = GaussianMap(means3d, rgb, rots, logit_op, log_scales, active)
-    means_cam, rots_cam = transform_to_frame(gm, q, t, True, False)
-    img, _, _, _ = render_gaussians(
-        cam_local, means_cam, rgb, rots_cam, logit_op, log_scales, active,
-        config=rcfg, intrinsics_override=(fx, fy, cx, cy_local),
-    )
-    im, depth = img[:3], img[3]
-    valid = depth_rows > 0
-    depth_loss = jnp.sum(jnp.abs(depth_rows - depth) * valid)
-    im_loss = jnp.sum(jnp.abs(color_rows - im))
-    return 1.0 * depth_loss + 0.5 * im_loss, jnp.sum(valid)
+def shard_heights(height: int, n_shards: int) -> tuple[int, int]:
+    """(h_local, h_padded): per-shard rows (16px-tile aligned) and the
+    padded render height h_local * n_shards >= height."""
+    h_local = -(-height // n_shards)
+    h_local = -(-h_local // 16) * 16
+    return h_local, h_local * n_shards
 
 
-def make_sharded_train_step(mesh: Mesh, cam: Camera, rcfg: RenderConfig,
-                            lrs: tuple, eps: float = 1e-15):
-    """Build a jitted multi-chip mapping/training step.
+def render_rgbd_sil_sharded(
+    mesh: Mesh,
+    cam: Camera,
+    means_cam: jax.Array,
+    colors: jax.Array,
+    rots_cam: jax.Array,
+    logit_opacities: jax.Array,
+    log_scales: jax.Array,
+    active: jax.Array,
+    rcfg: RenderConfig,
+    means2d_dummy: jax.Array | None = None,
+) -> RenderOutput:
+    """Row-sharded drop-in for render_rgbd_sil.
 
-    The returned step(gm_arrays, opt_state, q, t, color [3,H,W],
-    depth [H,W]) -> (gm_arrays, opt_state, loss) runs a full
-    forward+backward+Adam update with the image row-sharded over the mesh
-    and Gaussian gradients psum-reduced across devices.
+    Each shard renders rows [k*h_local, (k+1)*h_local) of a height-padded
+    image with the same intrinsics and cy shifted by -k*h_local, then the
+    row blocks are all-gathered and cropped back to cam.height, so the
+    returned image is numerically the single-chip render (pixel math never
+    crosses row blocks; a Gaussian overlapping a boundary is composited by
+    both owners onto disjoint pixels). radii are pmax-combined because each
+    shard culls against its own tile grid.
     """
     n_shards = mesh.devices.size
-    if cam.height % (16 * n_shards) != 0:
-        raise ValueError(
-            f"height {cam.height} must be divisible by 16*{n_shards} for "
-            "tile-aligned row sharding"
-        )
-    h_local = cam.height // n_shards
+    h_local, h_pad = shard_heights(cam.height, n_shards)
     cam_local = cam._replace(height=h_local)
+    h_full = cam.height
+
+    if means2d_dummy is None:
+        dummy = jnp.zeros((means_cam.shape[0], 2), jnp.float32)
+    else:
+        # render_gaussians scales the dummy by the LOCAL [W/2, H/2]; correct
+        # the y-scale so dL/ddummy keeps the reference's full-image NDC
+        # half-extent scaling (utils/slam_external.py:100-104).
+        dummy = means2d_dummy * jnp.asarray(
+            [1.0, h_full / h_local], jnp.float32
+        )
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(None, AXIS, None), P(AXIS, None)),
-        out_specs=(P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
-    def sharded_loss(gm_arrays, q, t, color, depth):
-        row0 = jax.lax.axis_index(AXIS) * h_local
-        cy_local = jnp.float32(cam.cy) - row0.astype(jnp.float32)
-        loss, nvalid = _local_render_loss(
-            gm_arrays, q, t, color, depth, cam_local,
-            jnp.float32(cam.fx), jnp.float32(cam.fy), jnp.float32(cam.cx),
-            cy_local, rcfg,
+    def rend(means_cam, colors, rots_cam, logit_op, log_scales, active, dummy):
+        row0 = (jax.lax.axis_index(AXIS) * h_local).astype(jnp.float32)
+        img, radii, overflow, n_pairs = render_gaussians(
+            cam_local,
+            means_cam,
+            colors,
+            rots_cam,
+            logit_op,
+            log_scales,
+            active,
+            config=rcfg,
+            means2d_dummy=dummy,
+            intrinsics_override=(
+                jnp.float32(cam.fx),
+                jnp.float32(cam.fy),
+                jnp.float32(cam.cx),
+                jnp.float32(cam.cy) - row0,
+            ),
         )
-        return jax.lax.psum(loss, AXIS), jax.lax.psum(nvalid, AXIS)
+        img_full = jax.lax.all_gather(img, AXIS, axis=1, tiled=True)
+        radii = jax.lax.pmax(radii, AXIS)
+        overflow = jax.lax.pmax(overflow, AXIS)
+        n_pairs = jax.lax.psum(n_pairs, AXIS)
+        return img_full, radii, overflow, n_pairs
 
-    def loss_fn(params, active, q, t, color, depth):
-        gm_arrays = params + (active,)
-        loss, _ = sharded_loss(gm_arrays, q, t, color, depth)
-        return loss
-
-    grad_fn = jax.value_and_grad(loss_fn)
-    lr_tuple = tuple(jnp.float32(lr) for lr in lrs)
-
-    @jax.jit
-    def step(params, active, opt_state, q, t, color, depth):
-        loss, grads = grad_fn(params, active, q, t, color, depth)
-        params, opt_state = optim.adam_step(opt_state, params, grads, lr_tuple, eps)
-        return params, opt_state, loss
-
-    def shard_frame(color, depth):
-        """Place frame arrays with the row sharding on the mesh."""
-        cs = NamedSharding(mesh, P(None, AXIS, None))
-        ds = NamedSharding(mesh, P(AXIS, None))
-        return jax.device_put(color, cs), jax.device_put(depth, ds)
-
-    return step, shard_frame
+    img, radii, overflow, n_pairs = rend(
+        means_cam, colors, rots_cam, logit_opacities, log_scales, active, dummy
+    )
+    img = img[:, :h_full, :]
+    return RenderOutput(
+        im=img[:3],
+        depth=img[3],
+        silhouette=img[4],
+        depth_sq=img[5],
+        radii=radii,
+        overflow=overflow,
+        n_pairs=n_pairs,
+    )

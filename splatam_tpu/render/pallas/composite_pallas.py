@@ -372,11 +372,36 @@ def _bwd_kernel(grid_x: int, ch: int, pad_start_ref, lens_ref, attrs_hbm,
     def _():
         out_dma(1).wait()
 
+    # Chunks past the deepest contributor hold REAL pairs with zero
+    # gradient; the segment reducer consumes every real slot, so write the
+    # zeros here (far cheaper than masking the whole pair array in XLA).
+    total_chunks = pl.cdiv(num, C)
+
+    @pl.when(n_chunks < total_chunks)
+    def _():
+        dscratch[0] = jnp.zeros((ATTR_W, C), jnp.float32)
+
+        def zbody(i, carry):
+            zd = pltpu.make_async_copy(
+                dscratch.at[0],
+                dattr_out.at[:, pl.ds(pl.multiple_of(s + i * C, C), C)],
+                dsem.at[0],
+            )
+            zd.start()
+            zd.wait()
+            return carry
+
+        jax.lax.fori_loop(n_chunks, total_chunks, zbody, 0)
+
 
 @functools.partial(jax.jit, static_argnames=("grid_x", "num_tiles", "ch"))
 def composite_backward_pallas(attrs16, pad_start, lens, state, g_acc, grid_x,
                               num_tiles, ch):
-    """Per-pair gradients [16, P_pad] matching the attr layout."""
+    """Per-pair gradients [16, P_pad] matching the attr layout.
+
+    Real pair slots past a tile's deepest contributor are zero-filled (the
+    segment reducer consumes every real slot); pad slots stay undefined
+    (never gathered)."""
     kernel = functools.partial(_bwd_kernel, grid_x, ch)
     packed = jnp.concatenate([g_acc, state[:, ch:, :]], axis=1)  # [T, ch+2, PIX]
     dattrs = pl.pallas_call(
@@ -405,6 +430,73 @@ def composite_backward_pallas(attrs16, pad_start, lens, state, g_acc, grid_x,
 
 
 # ---------------------------------------------------------------------------
+# Per-gaussian gradient reduction (segmented scan over gaussian-grouped pairs)
+# ---------------------------------------------------------------------------
+
+
+def _reduce_kernel(g_last_ref, grads_ref, gid_ref, out_ref, carry):
+    """Segmented inclusive prefix-sum along the pair stream.
+
+    grads block (ATTR_W, C), gid block (1, C) non-decreasing segment ids.
+    After the scan, the LAST slot of every segment holds that segment's
+    total; the caller gathers totals at end_slot[g] = offset[g]+count[g]-1.
+    Other slots hold partial prefixes (never read). A VMEM carry threads
+    segments across the sequential grid; g_last_ref[c] is the id at the
+    previous chunk's last lane.
+    """
+    c = pl.program_id(0)
+    prev_g = g_last_ref[c]
+
+    @pl.when(c == 0)
+    def _():
+        carry[...] = jnp.zeros((ATTR_W, 1), jnp.float32)
+
+    x = grads_ref[...]  # (ATTR_W, C)
+    gl = gid_ref[...]  # (1, C)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+
+    shift = 1
+    while shift < C:
+        same = (gl == pltpu.roll(gl, shift, 1)) & (lane >= shift)
+        x = x + jnp.where(same, pltpu.roll(x, shift, 1), 0.0)
+        shift *= 2
+
+    # Fold in the carry of the segment left open by the previous chunk
+    # (its lanes are exactly the prefix with gid == prev_g).
+    x = x + carry[...] * (gl == prev_g).astype(jnp.float32)
+    carry[...] = x[:, C - 1 : C]
+    out_ref[...] = x
+
+
+def segment_reduce_scan_pallas(grads_grouped, gid_grouped):
+    """Run the segmented scan; returns [ATTR_W, P] where each segment's
+    last slot holds the segment total.
+
+    grads_grouped [ATTR_W, P] f32 (P a multiple of 128), gid_grouped [P]
+    int32 non-decreasing segment ids."""
+    p = grads_grouped.shape[1]
+    assert p % C == 0
+    n_chunks = p // C
+    g_last = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), gid_grouped[C - 1 :: C][: n_chunks - 1]]
+    )
+    return pl.pallas_call(
+        _reduce_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_chunks,),
+            in_specs=[
+                pl.BlockSpec((ATTR_W, C), lambda c, *_: (0, c)),
+                pl.BlockSpec((1, C), lambda c, *_: (0, c)),
+            ],
+            out_specs=pl.BlockSpec((ATTR_W, C), lambda c, *_: (0, c)),
+            scratch_shapes=[pltpu.VMEM((ATTR_W, 1), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((ATTR_W, p), jnp.float32),
+    )(g_last, grads_grouped, gid_grouped.reshape(1, p))
+
+
+# ---------------------------------------------------------------------------
 # custom_vjp wrapper operating on per-gaussian attrs (gather/scatter in XLA)
 # ---------------------------------------------------------------------------
 
@@ -429,43 +521,65 @@ def _composite_core(xy, conic, opacity, channels, pad_data, grid_x, num_tiles, c
 
 
 def _composite_core_fwd(xy, conic, opacity, channels, pad_data, grid_x, num_tiles, ch):
-    pad_gauss, pad_start, lens = pad_data
+    pad_gauss, pad_start, lens, dst, pair_gauss, counts, in_stream = pad_data
     attrs_rows = _pack_attrs_rows(xy, conic, opacity, channels)
     padded16 = attrs_rows[pad_gauss].T  # row gather, then one transpose
     out = composite_forward_pallas(padded16, pad_start, lens, grid_x, num_tiles, ch)
-    res = (padded16, pad_gauss, pad_start, lens, out, xy.shape[0])
+    res = (padded16, pad_start, lens, dst, pair_gauss, counts, in_stream, out,
+           xy.shape[0])
     return out[:, :ch, :], res
 
 
 def _composite_core_bwd(grid_x, num_tiles, ch, res, g_acc):
-    padded16, pad_gauss, pad_start, lens, state, n_gauss = res
-    dattrs16 = composite_backward_pallas(
+    """Per-gaussian grads without a random scatter-add.
+
+    The [16,P_pad] -> [N,16] scatter-add used in round 1 costs ~42 ms/iter
+    on the current runtime (random row scatters are ~10x slower per byte
+    than streams). Instead: one sort groups pair grads by gaussian (the
+    grouped order equals the expansion order, so segment g starts at
+    offset[g]), a Pallas segmented scan leaves each segment's total at its
+    last slot, and one row gather at end_slot[g] = offset[g]+count[g]-1
+    extracts the per-gaussian sums.
+    """
+    (padded16, pad_start, lens, dst, pair_gauss, counts, in_stream, state,
+     n_gauss) = res
+    dattrs = composite_backward_pallas(
         padded16, pad_start, lens, state, g_acc, grid_x, num_tiles, ch
-    )
-    # The kernel only writes chunks up to each tile's deepest contributor
-    # (and nothing beyond the last tile's segment) — mask every unwritten
-    # slot before reducing per-gaussian.
-    pad_cap = pad_gauss.shape[0]
-    slot = jnp.arange(pad_cap, dtype=jnp.int32)
-    num_tiles_ = pad_start.shape[0] - 1
-    marks = jnp.zeros((pad_cap,), jnp.int32).at[pad_start[:-1]].add(1, mode="drop")
-    tile_of = jnp.clip(jnp.cumsum(marks) - 1, 0, num_tiles_ - 1)
-    rank = slot - pad_start[tile_of]
-    tile_nc_max = jnp.max(state[:, ch + 1, :], axis=-1).astype(jnp.int32)  # [T]
-    written = rank < ((tile_nc_max[tile_of] + C - 1) // C) * C
-    valid = written & (slot < pad_start[-1])
-    grads = jnp.where(valid[None, :], dattrs16, 0.0)
-    d_all = (
-        jnp.zeros((n_gauss, ATTR_W), jnp.float32).at[pad_gauss].add(grads.T)
-    )
+    )  # [16, P_pad]; real-but-unreached slots are zero-filled by the kernel
+    pad_cap = dattrs.shape[1]
+    pair_cap = dst.shape[0]
+
+    # Group pairs by gaussian: slots past n_pairs carry dst == pad_cap and
+    # get the sentinel id n_gauss, sorting to the tail with zero grads.
+    gid = jnp.where(dst < pad_cap, pair_gauss, jnp.int32(n_gauss))
+    gid_sorted, dst_sorted = jax.lax.sort_key_val(gid, dst, is_stable=False)
+    grads_grouped = dattrs.T.at[dst_sorted].get(
+        mode="fill", fill_value=0.0
+    ).T  # [16, pair_cap]; XLA fuses the transposes into the gather
+
+    scanned = segment_reduce_scan_pallas(grads_grouped, gid_sorted)
+
+    offsets = jnp.cumsum(counts) - counts  # exclusive; exact (int32)
+    end_slot = jnp.minimum(offsets + counts, pair_cap) - 1
+    d_all = jnp.where(
+        in_stream[:, None],
+        scanned.T.at[jnp.clip(end_slot, 0, pair_cap - 1)].get(
+            mode="fill", fill_value=0.0
+        ),
+        0.0,
+    )  # [n_gauss, 16]
     d_xy = d_all[:, 0:2]
     d_con = d_all[:, 2:5]
     d_opa = d_all[:, 5]
     d_chan = d_all[:, 6:6 + ch]
     pd_cot = (
-        np.zeros(pad_gauss.shape, jax.dtypes.float0),
+        np.zeros((pad_cap,), jax.dtypes.float0),  # pad_gauss
         np.zeros(pad_start.shape, jax.dtypes.float0),
         np.zeros(lens.shape, jax.dtypes.float0),
+        np.zeros(dst.shape, jax.dtypes.float0),
+        np.zeros(pair_gauss.shape, jax.dtypes.float0),
+        np.zeros(counts.shape, jax.dtypes.float0),
+        np.zeros(in_stream.shape, jax.dtypes.float0),
     )
     return d_xy, d_con, d_opa, d_chan, pd_cot
 
@@ -482,9 +596,11 @@ def composite(xy, conic, opacity, channels, bins, width, height):
     num_tiles = grid_x * grid_y
     ch = channels.shape[1]
     pad_cap = bins.pair_gauss.shape[0] + num_tiles * C
-    pad_gauss, pad_start, lens = padded_layout(bins, num_tiles, pad_cap, align=C)
+    pad_gauss, pad_start, lens, dst = padded_layout(bins, num_tiles, pad_cap, align=C)
     acc = _composite_core(
-        xy, conic, opacity, channels, (pad_gauss, pad_start, lens),
+        xy, conic, opacity, channels,
+        (pad_gauss, pad_start, lens, dst, bins.pair_gauss, bins.counts,
+         bins.in_stream),
         grid_x, num_tiles, ch,
     )
     img = assemble_image(acc, width, height)

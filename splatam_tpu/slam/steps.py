@@ -98,8 +98,14 @@ def get_loss(
     mapping: bool,
     do_ba: bool = False,
     means2d_dummy: jax.Array | None = None,
+    mesh=None,
 ):
-    """Reference get_loss (scripts/splatam.py:214-347), fused renders."""
+    """Reference get_loss (scripts/splatam.py:214-347), fused renders.
+
+    With `mesh` (a 1-D jax.sharding.Mesh), the render runs row-sharded over
+    the devices (parallel/spatial.py) and the full image is gathered back,
+    so every loss term below (masks, median, SSIM) is bit-identical to the
+    single-chip path."""
     if tracking:
         means_cam, rots_cam = transform_to_frame(gm, q, t, False, True)
     elif mapping and do_ba:
@@ -114,17 +120,25 @@ def get_loss(
     log_scales = gm.log_scales if params_grad else sg(gm.log_scales)
     colors = gm.rgb_colors if params_grad else sg(gm.rgb_colors)
 
-    out = render_rgbd_sil(
-        cam,
-        means_cam,
-        colors,
-        rots_cam,
-        logit_op,
-        log_scales,
-        gm.active,
-        config=rcfg,
-        means2d_dummy=means2d_dummy,
-    )
+    if mesh is not None:
+        from splatam_tpu.parallel.spatial import render_rgbd_sil_sharded
+
+        out = render_rgbd_sil_sharded(
+            mesh, cam, means_cam, colors, rots_cam, logit_op, log_scales,
+            gm.active, rcfg, means2d_dummy=means2d_dummy,
+        )
+    else:
+        out = render_rgbd_sil(
+            cam,
+            means_cam,
+            colors,
+            rots_cam,
+            logit_op,
+            log_scales,
+            gm.active,
+            config=rcfg,
+            means2d_dummy=means2d_dummy,
+        )
 
     depth = out.depth
     silhouette = out.silhouette
@@ -179,7 +193,8 @@ def get_loss(
 @partial(
     jax.jit,
     static_argnames=(
-        "cam", "num_iters", "use_depth_loss_thres", "pcfg", "rcfg", "lr_q", "lr_t"
+        "cam", "num_iters", "use_depth_loss_thres", "pcfg", "rcfg", "lr_q",
+        "lr_t", "mesh",
     ),
 )
 def tracking_phase(
@@ -196,6 +211,7 @@ def tracking_phase(
     lr_t: float,
     pcfg: PhaseConfig,
     rcfg: RenderConfig,
+    mesh=None,
 ):
     """Whole tracking optimization for one frame in one jitted while_loop.
 
@@ -204,7 +220,8 @@ def tracking_phase(
 
     def loss_fn(qt):
         q, t = qt
-        return get_loss(gm, q, t, color, depth_gt, cam, pcfg, rcfg, True, False)
+        return get_loss(gm, q, t, color, depth_gt, cam, pcfg, rcfg, True, False,
+                        mesh=mesh)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     lrs = (jnp.float32(lr_q), jnp.float32(lr_t))
@@ -287,7 +304,8 @@ def _prune_mask(params, active, it, scene_radius, pc: PruneConfig):
 @partial(
     jax.jit,
     static_argnames=(
-        "cam", "num_iters", "pcfg", "rcfg", "prune_cfg", "lrs", "track_stats"
+        "cam", "num_iters", "pcfg", "rcfg", "prune_cfg", "lrs", "track_stats",
+        "mesh",
     ),
 )
 def mapping_phase(
