@@ -106,6 +106,7 @@ def render_rgbd_sil_sharded(
                 jnp.float32(cam.cx),
                 jnp.float32(cam.cy) - row0,
             ),
+            lim_wh=(cam.width, cam.height),
         )
         img_full = jax.lax.all_gather(img, AXIS, axis=1, tiled=True)
         radii = jax.lax.pmax(radii, AXIS)

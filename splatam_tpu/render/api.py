@@ -93,6 +93,7 @@ def render_gaussians(
     means2d_dummy: jax.Array | None = None,
     append_depth_channels: bool = True,
     intrinsics_override: tuple | None = None,
+    lim_wh: tuple | None = None,
 ):
     """Differentiable render of arbitrary per-Gaussian color channels.
 
@@ -120,7 +121,7 @@ def render_gaussians(
         fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
     proj, aux = projection_mod.project(
         means3d, quats, logit_op, scales, active, cam.w2c_array(),
-        fx, fy, cx, cy, cam.width, cam.height,
+        fx, fy, cx, cy, cam.width, cam.height, lim_wh=lim_wh,
     )
 
     chans = [colors]

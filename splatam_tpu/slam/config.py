@@ -79,4 +79,7 @@ def backfill_defaults(config: dict) -> dict:
     tpu.setdefault("pair_cap", _next_pow2(int(h * w * 2)))
     tpu.setdefault("tile_k_max", 2048)
     tpu.setdefault("backend", "auto")
+    # >1 = row-shard render across a jax Mesh of that many devices
+    # (parallel/spatial.py); 0/1 = single chip.
+    tpu.setdefault("spatial_shards", 0)
     return config

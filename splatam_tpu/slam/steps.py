@@ -215,7 +215,11 @@ def tracking_phase(
 ):
     """Whole tracking optimization for one frame in one jitted while_loop.
 
-    Returns (best_q, best_t, iters_run, final_loss).
+    Returns (best_q, best_t, iters_run, final_loss, overflow, loss_hist)
+    where loss_hist is [2*num_iters, 3] rows of (loss, weighted depth loss,
+    weighted im loss) per iteration (rows past iters_run are zero) — the
+    host replays it for wandb's per-iteration report_loss
+    (utils/eval_helpers.py:80-106).
     """
 
     def loss_fn(qt):
@@ -231,9 +235,12 @@ def tracking_phase(
         return it < limit
 
     def body(carry):
-        it, limit, qt, st, best_q, best_t, min_loss, ovf = carry
+        it, limit, qt, st, best_q, best_t, min_loss, ovf, hist = carry
         (loss, aux), grads = grad_fn(qt)
         ovf = jnp.maximum(ovf, aux.overflow)
+        hist = hist.at[it].set(
+            jnp.stack([loss, aux.weighted_depth_loss, aux.weighted_im_loss])
+        )
         qt, st = optim.adam_step(st, qt, grads, lrs, eps=1e-8)
         better = loss < min_loss
         best_q = jnp.where(better, qt[0], best_q)
@@ -246,7 +253,7 @@ def tracking_phase(
             at_check = (it + 1 == num_iters) & (limit == num_iters)
             under = aux.weighted_depth_loss < depth_loss_thres
             limit = jnp.where(at_check & ~under, 2 * num_iters, limit)
-        return (it + 1, limit, qt, st, best_q, best_t, min_loss, ovf)
+        return (it + 1, limit, qt, st, best_q, best_t, min_loss, ovf, hist)
 
     st0 = optim.adam_init((q0, t0))
     carry0 = (
@@ -258,9 +265,12 @@ def tracking_phase(
         t0,
         jnp.float32(1e20),
         jnp.int32(0),
+        jnp.zeros((2 * num_iters, 3), jnp.float32),
     )
-    it, _, _, _, best_q, best_t, min_loss, ovf = jax.lax.while_loop(cond, body, carry0)
-    return best_q, best_t, it, min_loss, ovf
+    it, _, _, _, best_q, best_t, min_loss, ovf, hist = jax.lax.while_loop(
+        cond, body, carry0
+    )
+    return best_q, best_t, it, min_loss, ovf, hist
 
 
 # ---------------------------------------------------------------------------
@@ -326,6 +336,7 @@ def mapping_phase(
     gsvars: tuple,  # (means2d_grad_accum, denom, max_2d_radius) [CAP] each
     start_iter: jax.Array = jnp.int32(0),  # absolute iter of this chunk
     track_stats: bool = False,
+    mesh=None,
 ):
     """Mapping iterations for one frame in one jitted fori_loop.
 
@@ -335,7 +346,8 @@ def mapping_phase(
     mapping loop, scripts/splatam.py:828-891). Prune/reset schedules use
     the ABSOLUTE iteration (start_iter + i).
 
-    Returns (GaussianMap, opt_state, gsvars, summed loss, overflow max).
+    Returns (GaussianMap, opt_state, gsvars, summed loss, overflow max,
+    loss_hist [num_iters, 3] of (loss, w_depth, w_im) per iteration).
     """
     param_tuple = (
         gm.means3d,
@@ -357,7 +369,7 @@ def mapping_phase(
         )
         return get_loss(
             gm_i, q, t, color, depth_gt, cam, pcfg, rcfg, False, True,
-            means2d_dummy=dummy,
+            means2d_dummy=dummy, mesh=mesh,
         )
 
     if track_stats:
@@ -366,7 +378,7 @@ def mapping_phase(
         grad_fn = jax.value_and_grad(loss_fn, argnums=(0,), has_aux=True)
 
     def body(i, carry):
-        params, active, st, gsv, loss_sum, ovf_max = carry
+        params, active, st, gsv, loss_sum, ovf_max, hist = carry
         it = start_iter + i
         slot = iter_slots[i]
         color = (
@@ -409,6 +421,9 @@ def mapping_phase(
                     step=st.step,
                 )
         params, st = optim.adam_step(st, params, grads, lr_tuple, eps=1e-15)
+        hist = hist.at[i].set(
+            jnp.stack([loss, aux.weighted_depth_loss, aux.weighted_im_loss])
+        )
         return (
             params,
             active,
@@ -416,10 +431,14 @@ def mapping_phase(
             gsv,
             loss_sum + loss,
             jnp.maximum(ovf_max, aux.overflow),
+            hist,
         )
 
-    carry0 = (param_tuple, gm.active, opt_state, gsvars, jnp.float32(0), jnp.int32(0))
-    params, active, st, gsv, loss_sum, ovf = jax.lax.fori_loop(
+    carry0 = (
+        param_tuple, gm.active, opt_state, gsvars, jnp.float32(0),
+        jnp.int32(0), jnp.zeros((num_iters, 3), jnp.float32),
+    )
+    params, active, st, gsv, loss_sum, ovf, hist = jax.lax.fori_loop(
         0, num_iters, body, carry0
     )
     new_gm = gm._replace(
@@ -430,7 +449,7 @@ def mapping_phase(
         log_scales=params[4],
         active=active,
     )
-    return new_gm, st, gsv, loss_sum, ovf
+    return new_gm, st, gsv, loss_sum, ovf, hist
 
 
 # ---------------------------------------------------------------------------
@@ -457,7 +476,7 @@ def backproject_pointcloud(color, depth, fx, fy, cx, cy, c2w):
     return pts, cols, scale_gaussian * scale_gaussian
 
 
-@partial(jax.jit, static_argnames=("cam", "sil_thres", "rcfg"))
+@partial(jax.jit, static_argnames=("cam", "sil_thres", "rcfg", "mesh"))
 def densify_step(
     gm: GaussianMap,
     timestep: jax.Array,  # [CAP] f32 creation-time per gaussian
@@ -469,16 +488,25 @@ def densify_step(
     cam: Camera,
     sil_thres: float,
     rcfg: RenderConfig,
+    mesh=None,
 ):
     """add_new_gaussians (scripts/splatam.py:378-420) as a slot scatter.
 
     Returns (gm, timestep, n_added, n_dropped).
     """
     means_cam, rots_cam = transform_to_frame(gm, sg(q), sg(t), False, False)
-    out = render_rgbd_sil(
-        cam, means_cam, gm.rgb_colors, rots_cam, gm.logit_opacities,
-        gm.log_scales, gm.active, config=rcfg,
-    )
+    if mesh is not None:
+        from splatam_tpu.parallel.spatial import render_rgbd_sil_sharded
+
+        out = render_rgbd_sil_sharded(
+            mesh, cam, means_cam, gm.rgb_colors, rots_cam,
+            gm.logit_opacities, gm.log_scales, gm.active, rcfg,
+        )
+    else:
+        out = render_rgbd_sil(
+            cam, means_cam, gm.rgb_colors, rots_cam, gm.logit_opacities,
+            gm.log_scales, gm.active, config=rcfg,
+        )
     silhouette = out.silhouette
     render_depth = out.depth
 
