@@ -184,6 +184,31 @@ def offline_splatting(config: dict) -> dict:
         (gm.means3d, gm.rgb_colors, gm.unnorm_rotations, gm.logit_opacities, gm.log_scales)
     )
     rng_key = jax.random.PRNGKey(config.get("seed", 0))
+
+    output_dir = os.path.join(config["workdir"], config["run_name"])
+
+    def export_params(gm, timestep):
+        p = G.compact_to_numpy(gm)
+        act = np.asarray(gm.active)
+        ts = np.asarray(timestep)
+        if ts.shape[0] < act.shape[0]:
+            ts = np.concatenate([ts, np.zeros(act.shape[0] - ts.shape[0], np.float32)])
+        p["timestep"] = ts[np.nonzero(act)[0]]
+        p["cam_unnorm_rots"] = cam_rots.T[None]
+        p["cam_trans"] = cam_trans.T[None]
+        p["intrinsics"] = map_intrinsics
+        p["w2c"] = w2c0
+        p["org_width"] = dataset_config["desired_image_width"]
+        p["org_height"] = dataset_config["desired_image_height"]
+        p["gt_w2c_all_frames"] = np.stack(gt_w2c_all)
+        p["keyframe_time_indices"] = np.array([])
+        return p
+
+    # Intermediate eval hook (reference scripts/gaussian_splatting.py:539-553
+    # evaluates at exactly 7000 iterations into eval_7k/).
+    eval_at = sorted(int(x) for x in train.get("eval_intermediate_at", [7000]))
+    eval_at = [x for x in eval_at if 0 < x < num_iters]
+
     it = 0
     pbar = tqdm(total=num_iters, desc="Offline mapping")
     while it < num_iters:
@@ -213,6 +238,19 @@ def offline_splatting(config: dict) -> dict:
         )
         it += n
         pbar.update(n)
+        pbar.set_postfix(loss=f"{float(_loss) / max(n, 1):.4f}",
+                         n_gauss=int(gm.num_active()))
+        while eval_at and it >= eval_at[0]:
+            k_iters = eval_at.pop(0)
+            print(f"Evaluating Params at {k_iters} Iterations")
+            k_dir = os.path.join(output_dir, f"eval_{k_iters // 1000}k")
+            os.makedirs(k_dir, exist_ok=True)
+            eval_sequence(
+                eval_dataset, export_params(gm, timestep), eval_num_frames,
+                k_dir, sil_thres=train["sil_thres"], mapping_iters=num_iters,
+                add_new_gaussians=True,
+                eval_every=config.get("eval_every", 1), rcfg=rcfg,
+            )
         if (
             use_densify
             and it <= dcfg.stop_after
@@ -231,25 +269,9 @@ def offline_splatting(config: dict) -> dict:
     pbar.close()
 
     # ---- Eval + save ----------------------------------------------------
-    output_dir = os.path.join(config["workdir"], config["run_name"])
     eval_dir = os.path.join(output_dir, "eval")
     os.makedirs(eval_dir, exist_ok=True)
-    params = G.compact_to_numpy(gm)
-    active = np.asarray(gm.active)
-    ts_np = np.asarray(timestep)
-    if ts_np.shape[0] < active.shape[0]:  # capacity grew during training
-        ts_np = np.concatenate(
-            [ts_np, np.zeros(active.shape[0] - ts_np.shape[0], np.float32)]
-        )
-    params["timestep"] = ts_np[np.nonzero(active)[0]]
-    params["cam_unnorm_rots"] = cam_rots.T[None]
-    params["cam_trans"] = cam_trans.T[None]
-    params["intrinsics"] = map_intrinsics
-    params["w2c"] = w2c0
-    params["org_width"] = dataset_config["desired_image_width"]
-    params["org_height"] = dataset_config["desired_image_height"]
-    params["gt_w2c_all_frames"] = np.stack(gt_w2c_all)
-    params["keyframe_time_indices"] = np.array([])
+    params = export_params(gm, timestep)
 
     metrics = eval_sequence(
         eval_dataset, params, eval_num_frames, eval_dir,

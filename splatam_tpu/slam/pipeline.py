@@ -146,6 +146,15 @@ class SLAMRuntime:
         self.rcfg = RenderConfig(
             backend=tpu["backend"], pair_cap=tpu["pair_cap"], tile_k_max=tpu["tile_k_max"]
         )
+        # Optional row-sharded rendering over a device mesh (tpu.spatial_shards
+        # devices; parallel/spatial.py). 0/1 = single-chip.
+        shards = int(tpu.get("spatial_shards", 0))
+        self.mesh = None
+        if shards > 1:
+            from splatam_tpu.parallel.spatial import make_mesh
+
+            self.mesh = make_mesh(shards)
+            print(f"[splatam-tpu] row-sharding renders over {shards} devices")
         self.pcfg_track = _phase_cfg(config["tracking"])
         self.pcfg_map = _phase_cfg(config["mapping"])
         self.prune_cfg = _prune_cfg(config["mapping"])
@@ -207,6 +216,8 @@ class SLAMRuntime:
         self.keyframe_time_indices = []
 
         self.gt_w2c_all = []
+        self._tracking_hist = None
+        self._mapping_hist = None
         self.stats = {
             "tracking_iter_time_sum": 0.0,
             "tracking_iter_time_count": 0,
@@ -333,7 +344,7 @@ class SLAMRuntime:
         gm_view, _ = G.slice_prefix(self.gm, self.timestep, bucket)
         q0 = jnp.asarray(self.cam_rots[time_idx])
         t0 = jnp.asarray(self.cam_trans[time_idx])
-        best_q, best_t, iters, _loss, ovf = steps.tracking_phase(
+        best_q, best_t, iters, _loss, ovf, hist = steps.tracking_phase(
             gm_view,
             q0,
             t0,
@@ -347,11 +358,13 @@ class SLAMRuntime:
             float(cfg_t["lrs"]["cam_trans"]),
             self.pcfg_track,
             self._phase_rcfg(bucket, n_active),
+            mesh=self.mesh,
         )
         best_q.block_until_ready()
         self.cam_rots[time_idx] = np.asarray(best_q)
         self.cam_trans[time_idx] = np.asarray(best_t)
         self._iters_run = int(iters)
+        self._tracking_hist = np.asarray(hist)[: self._iters_run]
         if int(ovf) > 0:
             print(f"[splatam-tpu] WARNING: pair buffer overflow ({int(ovf)}) in tracking")
 
@@ -370,6 +383,7 @@ class SLAMRuntime:
                 self.densify_cam,
                 float(self.config["mapping"]["sil_thres"]),
                 self.rcfg,
+                mesh=self.mesh,
             )
             if int(n_dropped) > 0:
                 need = self.gm.capacity + int(n_dropped)
@@ -441,6 +455,7 @@ class SLAMRuntime:
             gsvars,
             jnp.int32(start_iter),
             track_stats,
+            mesh=self.mesh,
         )
 
     def map_frame(self, time_idx: int, selected: list) -> None:
@@ -472,11 +487,12 @@ class SLAMRuntime:
 
         if not use_densify:
             inputs = self._mapping_inputs(time_idx, selected, num_iters)
-            gm2, _, _, _, ovf = self._run_mapping_chunk(
+            gm2, _, _, _, ovf, hist = self._run_mapping_chunk(
                 gm_view, opt_state, gsvars, inputs, num_iters, 0, rcfg, lrs, False
             )
             gm2.means3d.block_until_ready()
             self.gm = G.write_prefix(self.gm, gm2)
+            self._mapping_hist = np.asarray(hist)
             if int(ovf) > 0:
                 print(f"[splatam-tpu] WARNING: pair buffer overflow ({int(ovf)}) in mapping")
             return
@@ -492,13 +508,15 @@ class SLAMRuntime:
             **{k: d[k] for k in d if k in steps_gs.DensifyConfig.__dataclass_fields__},
         )
         it = 0
+        hist_chunks = []
         rng_key = jax.random.PRNGKey(self.config["seed"] * 9973 + time_idx)
         while it < num_iters:
             n = min(dcfg.densify_every, num_iters - it)
             inputs = self._mapping_inputs(time_idx, selected, n)
-            gm_view, opt_state, gsvars, _, ovf = self._run_mapping_chunk(
+            gm_view, opt_state, gsvars, _, ovf, hist = self._run_mapping_chunk(
                 gm_view, opt_state, gsvars, inputs, n, it, rcfg, lrs, True
             )
+            hist_chunks.append(np.asarray(hist))
             it += n
             if int(ovf) > 0:
                 print(f"[splatam-tpu] WARNING: pair buffer overflow ({int(ovf)}) in mapping")
@@ -561,6 +579,7 @@ class SLAMRuntime:
                 gsvars = tuple(x[:bucket] for x in gsv_t)
         gm_view.means3d.block_until_ready()
         self.gm = G.write_prefix(self.gm, gm_view)
+        self._mapping_hist = np.concatenate(hist_chunks) if hist_chunks else None
 
     # -------------------------------------------------------------------
     def export_params(self) -> dict:
@@ -580,6 +599,52 @@ class SLAMRuntime:
         return params
 
 
+def _save_tracking_loss_viz(rt, time_idx: int, color, depth) -> None:
+    """Save-to-disk variant of visualize_tracking_loss
+    (scripts/splatam.py:292-337): after the frame's tracking converges,
+    render at the tracked pose and save the GT / render / diff panel. (The
+    reference shows a live per-iteration window; the fused while_loop phase
+    makes per-iteration frames prohibitively chatty, so this saves one panel
+    per frame.)"""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from splatam_tpu.eval.evaluate import render_at_pose
+
+    out = render_at_pose(
+        rt.gm, jnp.asarray(rt.cam_rots[time_idx]), jnp.asarray(rt.cam_trans[time_idx]),
+        rt.tracking_cam, rt.rcfg,
+    )
+    sil_thres = rt.config["tracking"]["sil_thres"]
+    mask = np.asarray(out.silhouette > sil_thres)
+    im = np.clip(np.asarray(out.im).transpose(1, 2, 0), 0, 1)
+    gt_im = np.asarray(color).transpose(1, 2, 0)
+    rd, gd = np.asarray(out.depth), np.asarray(depth)
+    fig, axs = plt.subplots(2, 4, figsize=(16, 7))
+    panels = [
+        (gt_im, "GT RGB", None),
+        (gd, "GT Depth", "jet"),
+        (im, "Rastered RGB", None),
+        (rd, "Rastered Depth", "jet"),
+        (np.abs(gt_im - im).mean(-1) * mask, "Diff RGB L1 (masked)", "jet"),
+        (np.abs(gd - rd) * mask * (gd > 0), "Diff Depth L1 (masked)", "jet"),
+        (mask.astype(np.float32), f"Silhouette > {sil_thres}", "gray"),
+        ((gd > 0).astype(np.float32), "Valid Depth", "gray"),
+    ]
+    for ax, (img, title, cmap) in zip(axs.flatten(), panels):
+        ax.imshow(img, cmap=cmap)
+        ax.set_title(title)
+        ax.axis("off")
+    fig.suptitle(f"Tracking Loss Visualization — Frame {time_idx}", fontsize=14)
+    viz_dir = os.path.join(rt.output_dir, "tracking_loss_viz")
+    os.makedirs(viz_dir, exist_ok=True)
+    fig.tight_layout()
+    plt.savefig(os.path.join(viz_dir, f"{time_idx:04d}.png"), bbox_inches="tight")
+    plt.close(fig)
+
+
 def rgbd_slam(config: dict) -> dict:
     """Run the full online SLAM; returns the final eval metric dict."""
     print("Loaded Config:")
@@ -592,6 +657,14 @@ def rgbd_slam(config: dict) -> dict:
     keyframe_every = config["keyframe_every"]
     stats = rt.stats
 
+    from splatam_tpu.utils.logging import MetricsLogger, report_loss
+
+    logger = MetricsLogger(
+        bool(config.get("use_wandb", False)), config, rt.output_dir
+    )
+    wandb_time_step, wandb_mapping_step = 0, 0
+    viz_tracking_loss = bool(config["tracking"].get("visualize_tracking_loss", False))
+
     checkpoint_time_idx = 0
     if config["load_checkpoint"]:
         checkpoint_time_idx = int(config["checkpoint_time_idx"])
@@ -599,7 +672,8 @@ def rgbd_slam(config: dict) -> dict:
 
     from tqdm import tqdm
 
-    for time_idx in tqdm(range(checkpoint_time_idx, rt.num_frames)):
+    pbar = tqdm(range(checkpoint_time_idx, rt.num_frames))
+    for time_idx in pbar:
         color_np, depth_np, _, gt_pose = rt.dataset[time_idx]
         gt_w2c = np.linalg.inv(gt_pose)
         rt.gt_w2c_all.append(gt_w2c)
@@ -634,6 +708,17 @@ def rgbd_slam(config: dict) -> dict:
             rt.track_frame(time_idx, tr_color, tr_depth)
             stats["tracking_iter_time_count"] += rt._iters_run
             stats["tracking_frame_time_count"] += 1
+            if logger.enabled and rt._tracking_hist is not None:
+                # Replay the device-side per-iteration loss history
+                # (report_loss, utils/eval_helpers.py:80-106).
+                for row in rt._tracking_hist:
+                    wandb_time_step = report_loss(
+                        logger,
+                        {"loss": row[0], "depth": row[1], "im": row[2]},
+                        wandb_time_step, tracking=True,
+                    )
+            if viz_tracking_loss:
+                _save_tracking_loss_viz(rt, time_idx, tr_color, tr_depth)
         elif time_idx > 0 and use_gt_poses:
             rt.cam_rots[time_idx] = _quat_from_w2c(gt_w2c)
             rt.cam_trans[time_idx] = gt_w2c[:3, 3]
@@ -653,10 +738,30 @@ def rgbd_slam(config: dict) -> dict:
                     rt.gm, rt.cam_rots[time_idx], rt.cam_trans[time_idx],
                     tr_color, tr_depth, rt.tracking_cam,
                     config["tracking"]["sil_thres"], rt.rcfg, tracking=True,
+                    gt_w2c_list=rt.gt_w2c_all,
+                    est_w2c_list=[
+                        _w2c_from_qt(rt.cam_rots[i], rt.cam_trans[i])
+                        for i in range(time_idx + 1)
+                    ],
                 )
                 print(
                     f"[progress] frame {time_idx}: psnr={m['psnr']:.2f} "
                     f"depth_l1={m['depth_l1']:.4f}"
+                )
+                # tqdm postfix parity: report_progress's live bar postfix
+                # (utils/eval_helpers.py:246-254).
+                postfix = {"Frame": time_idx, "PSNR": f"{m['psnr']:.2f}"}
+                if "ate_rmse" in m and np.isfinite(m["ate_rmse"]):
+                    postfix["ATE cm"] = f"{m['ate_rmse'] * 100:.2f}"
+                pbar.set_postfix(postfix)
+                logger.log(
+                    {
+                        "Tracking/PSNR": m["psnr"],
+                        "Tracking/Depth RMSE": m["depth_rmse"],
+                        "Tracking/Depth L1": m["depth_l1"],
+                        "Tracking/ATE RMSE (cm)": m.get("ate_rmse", float("nan")) * 100,
+                        "Tracking/step": time_idx,
+                    }
                 )
             except Exception:
                 save_params_ckpt(rt.export_params(), rt.output_dir, time_idx)
@@ -682,6 +787,21 @@ def rgbd_slam(config: dict) -> dict:
             stats["mapping_frame_time_count"] += 1
             stats["mapping_iter_time_sum"] += mapping_time
             stats["mapping_iter_time_count"] += int(config["mapping"]["num_iters"])
+            if logger.enabled:
+                if rt._mapping_hist is not None:
+                    for row in rt._mapping_hist:
+                        wandb_mapping_step = report_loss(
+                            logger,
+                            {"loss": row[0], "depth": row[1], "im": row[2]},
+                            wandb_mapping_step, mapping=True,
+                        )
+                # Gaussian-count telemetry (scripts/splatam.py:796-798).
+                logger.log(
+                    {
+                        "Mapping/Number of Gaussians": int(rt.gm.num_active()),
+                        "Mapping/step": time_idx,
+                    }
+                )
 
         # ---- Keyframing (scripts/splatam.py:911-925) -------------------
         if (
@@ -744,4 +864,16 @@ def rgbd_slam(config: dict) -> dict:
         "mapping_iter_ms": s["mapping_iter_time_sum"] / mic * 1000,
         "mapping_frame_s": s["mapping_frame_time_sum"] / mfc,
     }
+    # Final runtime + quality stats (scripts/splatam.py:954-971).
+    logger.log(
+        {
+            "Final Stats/Average Tracking Iteration Time (ms)": metrics["runtime"]["tracking_iter_ms"],
+            "Final Stats/Average Tracking Frame Time (s)": metrics["runtime"]["tracking_frame_s"],
+            "Final Stats/Average Mapping Iteration Time (ms)": metrics["runtime"]["mapping_iter_ms"],
+            "Final Stats/Average Mapping Frame Time (s)": metrics["runtime"]["mapping_frame_s"],
+            "Final Stats/step": 1,
+        }
+    )
+    logger.log({f"Final/{k}": v for k, v in metrics.items() if isinstance(v, float)})
+    logger.finish()
     return metrics

@@ -68,3 +68,41 @@ def test_eval_online_smoke(tmp_path):
     )
     assert np.isfinite(metrics["psnr"])
     assert os.path.exists(tmp_path / "online" / "online_psnr.txt")
+
+
+def test_lpips_synthesized_fallback():
+    """LPIPS falls back to deterministic synthesized weights: finite, zero
+    on identity, monotone in noise amplitude, and reproducible across
+    loader calls (VERDICT r1 item 6)."""
+    from splatam_tpu.eval.lpips_jax import lpips_fn
+
+    f = lpips_fn()
+    assert f is not None and f.synthetic
+    rng = np.random.default_rng(11)
+    a = jnp.asarray(rng.uniform(0, 1, (3, 48, 64)).astype(np.float32))
+    assert float(f(a, a)) == 0.0
+    small = jnp.clip(a + jnp.asarray(rng.normal(0, 0.05, a.shape).astype(np.float32)), 0, 1)
+    large = jnp.clip(a + jnp.asarray(rng.normal(0, 0.3, a.shape).astype(np.float32)), 0, 1)
+    v_small, v_large = float(f(a, small)), float(f(a, large))
+    assert np.isfinite(v_small) and np.isfinite(v_large)
+    assert 0 < v_small < v_large
+    # Deterministic: a second loader instance gives bit-identical values.
+    f2 = lpips_fn()
+    assert float(f2(a, large)) == v_large
+
+
+def test_lpips_pretrained_npz_roundtrip(tmp_path):
+    """An explicit weights npz (the export-script schema) loads and is
+    flagged non-synthetic."""
+    from splatam_tpu.eval.lpips_jax import lpips_fn, synthesize_weights
+
+    w = synthesize_weights(seed=5)
+    w.pop("_synthetic")
+    path = tmp_path / "lpips_alex.npz"
+    np.savez(path, **w)
+    f = lpips_fn(str(path))
+    assert f is not None and not f.synthetic
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(rng.uniform(0, 1, (3, 40, 56)).astype(np.float32))
+    b = jnp.clip(a + 0.2, 0, 1)
+    assert np.isfinite(float(f(a, b)))
