@@ -52,6 +52,8 @@ def main():
         pair_cap=1 << 20,
         tile_k_max=int(os.environ.get("BENCH_TILE_K", 4096)),
         backend=os.environ.get("BENCH_BACKEND", "auto"),
+        rebin_every=int(os.environ.get("BENCH_REBIN", 8)),
+        spatial_shards=int(os.environ.get("BENCH_SHARDS", 0)),
     )
     seed_everything(0)
 

@@ -1,0 +1,120 @@
+"""Quality gauntlet: long rotation-heavy synthetic SLAM with tight asserts.
+
+The reference validates itself by the end-of-run metric print on
+Replica/TUM/ScanNet (scripts/splatam.py:963-971,
+utils/eval_helpers.py:588-592); benchmark datasets are not shipped here
+(zero-egress), so this gauntlet is the falsifiable stand-in: a 120-frame
+320x240 procedural sequence with rotation-heavy motion, run end-to-end with
+full tracking (never gt poses), plus a depth-noise variant, asserting hard
+ATE/PSNR floors. Results land in <workdir>/gauntlet_results.json and are
+recorded in PARITY.md.
+
+Usage:
+    python scripts/gauntlet.py [--frames 120] [--h 240] [--w 320]
+                               [--variant clean|noise|both] [--rebin 8]
+
+Thresholds (VERDICT r1 item 5): clean ATE < 1.0 cm, PSNR >= 30;
+noise (1% depth noise) ATE < 2.0 cm, PSNR >= 27.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+THRESHOLDS = {
+    "clean": {"ate_cm": 1.0, "psnr": 30.0},
+    "noise": {"ate_cm": 2.0, "psnr": 27.0},
+}
+
+
+def run_variant(name: str, frames: int, h: int, w: int, rebin: int,
+                workdir: str) -> dict:
+    from splatam_tpu.slam.config import load_experiment_config, seed_everything
+    from splatam_tpu.slam.pipeline import rgbd_slam
+
+    cfg_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "configs", "synthetic", "splatam.py",
+    )
+    config = load_experiment_config(cfg_path)
+    config["workdir"] = workdir
+    config["run_name"] = f"gauntlet_{name}"
+    config["data"]["desired_image_height"] = h
+    config["data"]["desired_image_width"] = w
+    config["data"]["num_frames"] = frames
+    # Rotation-heavy trajectory + optional TUM-like depth noise.
+    config["data"]["motion_scale"] = 3.0
+    if name == "noise":
+        config["data"]["depth_noise_sigma"] = 0.01
+        config["tracking"]["ignore_outlier_depth_loss"] = True
+    config["tracking"]["num_iters"] = 40
+    config["tracking"]["use_gt_poses"] = False
+    config["mapping"]["num_iters"] = 60
+    config["mapping_window_size"] = 24
+    config["keyframe_every"] = 5
+    config["eval_every"] = 5
+    config["report_global_progress_every"] = 25
+    config.setdefault("tpu", {})
+    config["tpu"]["rebin_every"] = rebin
+    seed_everything(int(config.get("seed", 0)))
+
+    t0 = time.time()
+    metrics = rgbd_slam(config)
+    metrics["wall_s"] = round(time.time() - t0, 1)
+    return metrics
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--h", type=int, default=240)
+    ap.add_argument("--w", type=int, default=320)
+    ap.add_argument("--rebin", type=int, default=8)
+    ap.add_argument("--variant", default="both", choices=["clean", "noise", "both"])
+    ap.add_argument("--workdir", default="/tmp/splatam_gauntlet")
+    args = ap.parse_args()
+
+    variants = ["clean", "noise"] if args.variant == "both" else [args.variant]
+    results, failures = {}, []
+    for name in variants:
+        print(f"\n===== gauntlet variant: {name} =====")
+        m = run_variant(name, args.frames, args.h, args.w, args.rebin, args.workdir)
+        ate_cm = m["ate_rmse"] * 100
+        results[name] = {
+            "ate_cm": round(ate_cm, 4),
+            "psnr": round(m["psnr"], 3),
+            "depth_l1_cm": round(m["depth_l1"] * 100, 4),
+            "ms_ssim": round(m["ms_ssim"], 4),
+            "lpips": round(m["lpips"], 4),
+            "wall_s": m["wall_s"],
+            "runtime": m.get("runtime", {}),
+            "thresholds": THRESHOLDS[name],
+        }
+        th = THRESHOLDS[name]
+        ok = ate_cm < th["ate_cm"] and m["psnr"] >= th["psnr"]
+        results[name]["pass"] = ok
+        if not ok:
+            failures.append(name)
+        print(f"[{name}] ATE {ate_cm:.3f} cm (< {th['ate_cm']}), "
+              f"PSNR {m['psnr']:.2f} (>= {th['psnr']}) -> "
+              f"{'PASS' if ok else 'FAIL'}")
+
+    out_path = os.path.join(args.workdir, "gauntlet_results.json")
+    os.makedirs(args.workdir, exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"\nresults -> {out_path}")
+    print(json.dumps(results, indent=2))
+    if failures:
+        print(f"GAUNTLET FAILED: {failures}")
+        sys.exit(1)
+    print("GAUNTLET PASSED")
+
+
+if __name__ == "__main__":
+    main()

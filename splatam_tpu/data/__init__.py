@@ -46,6 +46,8 @@ def get_dataset(config_dict, basedir, sequence, **kwargs):
             "height": kwargs.get("desired_height", 120),
             "width": kwargs.get("desired_width", 160),
             "seed": config_dict.get("synthetic_seed", 0),
+            "motion_scale": config_dict.get("motion_scale", 1.0),
+            "depth_noise_sigma": config_dict.get("depth_noise_sigma", 0.0),
         }
         return SyntheticDataset(**synth_kwargs)
     else:

@@ -59,7 +59,11 @@ class SyntheticDataset:
         motion_scale: float = 1.0,
         seed: int = 0,
         relative_pose: bool = True,
+        depth_noise_sigma: float = 0.0,
     ):
+        """depth_noise_sigma > 0 adds per-pixel gaussian depth noise scaled
+        by depth (sigma in meters at 1 m — TUM-like sensor behavior),
+        deterministic per (seed, frame)."""
         self.num_imgs = num_frames
         self.desired_height = height
         self.desired_width = width
@@ -68,6 +72,8 @@ class SyntheticDataset:
         self.cy = height / 2.0
         self.room_half = room_half
         self.png_depth_scale = 1.0
+        self.depth_noise_sigma = float(depth_noise_sigma)
+        self._seed = seed
 
         rng = np.random.default_rng(seed)
         self._phase = rng.uniform(0, 2 * np.pi)
@@ -124,6 +130,10 @@ class SyntheticDataset:
     def __getitem__(self, index):
         pose = self.poses[index]
         color, depth = self.render_frame(pose)
+        if self.depth_noise_sigma > 0:
+            rng = np.random.default_rng((self._seed + 1) * 100003 + index)
+            noise = rng.normal(0.0, self.depth_noise_sigma, depth.shape)
+            depth = (depth + (noise * depth).astype(np.float32)).astype(np.float32)
         intrinsics = np.eye(4, dtype=np.float32)
         intrinsics[:3, :3] = self.get_cam_K()
         return color, depth, intrinsics, pose.astype(np.float32)

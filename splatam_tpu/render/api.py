@@ -49,7 +49,108 @@ class RenderOutput(NamedTuple):
     n_pairs: jax.Array  # scalar int32: actual (gaussian, tile) pairs
 
 
-def _composite_backend(cfg: RenderConfig, cam: Camera, xy, conic, opacity, depth, channels, aux):
+class PairStructure(NamedTuple):
+    """The geometry-only binning state of one render: (gaussian, tile) pair
+    expansion, tile sort, padded layout, and the backward's gaussian-grouped
+    permutation. It is a pure function of (pose, means, scales, opacities)
+    under stop_gradient, so optimization loops whose geometry drifts slowly
+    (tracking: one camera pose nudged by tiny Adam steps; mapping: params
+    moving at 1e-4-scale lrs) can REUSE it across iterations and re-derive
+    only the cheap per-iteration attributes. Correctness note: per-pair
+    alpha is always evaluated from the CURRENT iteration's exact projection,
+    and the 1/255 alpha cutoff coincides with the rect bound, so a stale
+    structure only misses contributions that the cutoff would have skipped
+    anyway (plus sub-quantization depth-order drift). Exact per-iteration
+    binning = rebin_every 1 (the default)."""
+
+    bins: binning_mod.Bins
+    # Pallas-backend padded layout (None under the tiles/naive backends).
+    pad_gauss: jax.Array | None
+    pad_start: jax.Array | None
+    lens: jax.Array | None
+    dst: jax.Array | None
+    gid_sorted: jax.Array | None
+    dst_sorted: jax.Array | None
+
+
+def _prep_gaussians(unnorm_rotations, logit_opacities, log_scales):
+    n = logit_opacities.shape[0] if logit_opacities.ndim == 1 else logit_opacities.shape[0]
+    if log_scales.shape[1] == 1:
+        log_scales = jnp.tile(log_scales, (1, 3))
+    scales = jnp.exp(log_scales)
+    quats = normalize(unnorm_rotations)
+    logit_op = logit_opacities.reshape(n)
+    return quats, logit_op, scales
+
+
+def pallas_layout(bins: binning_mod.Bins, num_tiles: int, n_gauss: int):
+    """Padded per-tile layout + the backward's gaussian-grouped sort.
+
+    Both are pure functions of the binning; computing them here (instead of
+    inside the composite fwd/bwd) lets a reused PairStructure amortize them
+    across iterations."""
+    from splatam_tpu.render.pallas import composite_pallas as CP
+
+    pair_cap = bins.pair_gauss.shape[0]
+    pad_cap = pair_cap + num_tiles * CP.C
+    pad_gauss, pad_start, lens, dst = binning_mod.padded_layout(
+        bins, num_tiles, pad_cap, align=CP.C
+    )
+    # Group pairs by gaussian for the backward's segmented reduction: slots
+    # past n_pairs carry dst == pad_cap and the sentinel id n_gauss, sorting
+    # to the tail with zero grads.
+    gid = jnp.where(dst < pad_cap, bins.pair_gauss, jnp.int32(n_gauss))
+    gid_sorted, dst_sorted = jax.lax.sort_key_val(gid, dst, is_stable=False)
+    return pad_gauss, pad_start, lens, dst, gid_sorted, dst_sorted
+
+
+def compute_pair_structure(
+    cam: Camera,
+    means3d: jax.Array,
+    unnorm_rotations: jax.Array,
+    logit_opacities: jax.Array,
+    log_scales: jax.Array,
+    active: jax.Array,
+    config: RenderConfig,
+    intrinsics_override: tuple | None = None,
+    lim_wh: tuple | None = None,
+) -> PairStructure:
+    """Build the reusable binning structure for a render at this geometry.
+
+    All inputs are treated as constants (stop_gradient)."""
+    sg = jax.lax.stop_gradient
+    means3d, unnorm_rotations = sg(means3d), sg(unnorm_rotations)
+    logit_opacities, log_scales = sg(logit_opacities), sg(log_scales)
+    quats, logit_op, scales = _prep_gaussians(
+        unnorm_rotations, logit_opacities, log_scales
+    )
+    if intrinsics_override is not None:
+        fx, fy, cx, cy = intrinsics_override
+    else:
+        fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
+    proj, aux = projection_mod.project(
+        means3d, quats, logit_op, scales, active, cam.w2c_array(),
+        fx, fy, cx, cy, cam.width, cam.height, lim_wh=lim_wh,
+    )
+    bins = binning_mod.build_bins(
+        proj, aux, cam.width, cam.height, config.pair_cap, far=cam.far
+    )
+    if config.resolve_backend() == "pallas":
+        layout = pallas_layout(
+            bins, _num_tiles(cam.width, cam.height), means3d.shape[0]
+        )
+    else:
+        layout = (None,) * 6
+    return PairStructure(bins, *layout)
+
+
+def _num_tiles(width: int, height: int) -> int:
+    gx, gy = binning_mod.grid_shape(width, height)
+    return gx * gy
+
+
+def _composite_backend(cfg: RenderConfig, cam: Camera, xy, conic, opacity, depth,
+                       channels, aux, pair_structure: PairStructure | None = None):
     """Dispatch the compositing stage -> (image [C,H,W], overflow, n_pairs)."""
     backend = cfg.resolve_backend()
     w, h = cam.width, cam.height
@@ -58,17 +159,27 @@ def _composite_backend(cfg: RenderConfig, cam: Camera, xy, conic, opacity, depth
         img = naive_mod.composite_naive(proj, aux, channels, w, h)
         return img, jnp.int32(0), jnp.int32(0)
 
-    bins = binning_mod.build_bins(
-        proj._replace(depth=jax.lax.stop_gradient(depth)), aux, w, h, cfg.pair_cap, far=cam.far
-    )
     grid_x, grid_y = binning_mod.grid_shape(w, h)
     num_tiles = grid_x * grid_y
+
+    if pair_structure is not None:
+        ps = pair_structure
+    else:
+        bins = binning_mod.build_bins(
+            proj._replace(depth=jax.lax.stop_gradient(depth)), aux, w, h,
+            cfg.pair_cap, far=cam.far,
+        )
+        if backend == "pallas":
+            ps = PairStructure(bins, *pallas_layout(bins, num_tiles, xy.shape[0]))
+        else:
+            ps = PairStructure(bins, *((None,) * 6))
+    bins = ps.bins
 
     if backend == "pallas":
         from splatam_tpu.render.pallas import composite_pallas
 
         img, list_overflow = composite_pallas.composite(
-            xy, conic, opacity, channels, bins, w, h
+            xy, conic, opacity, channels, ps, w, h
         )
         return img, bins.overflow + list_overflow, bins.n_pairs
 
@@ -94,6 +205,7 @@ def render_gaussians(
     append_depth_channels: bool = True,
     intrinsics_override: tuple | None = None,
     lim_wh: tuple | None = None,
+    pair_structure: PairStructure | None = None,
 ):
     """Differentiable render of arbitrary per-Gaussian color channels.
 
@@ -105,13 +217,14 @@ def render_gaussians(
     When
     `append_depth_channels`, three channels [z, 1, z^2] are appended after
     the user channels.
+
+    `pair_structure` reuses a precomputed binning (see PairStructure); per-
+    pair attributes still come from THIS call's exact projection.
     """
     n = means3d.shape[0]
-    if log_scales.shape[1] == 1:
-        log_scales = jnp.tile(log_scales, (1, 3))
-    scales = jnp.exp(log_scales)
-    quats = normalize(unnorm_rotations)
-    logit_op = logit_opacities.reshape(n)
+    quats, logit_op, scales = _prep_gaussians(
+        unnorm_rotations, logit_opacities, log_scales
+    )
 
     if intrinsics_override is not None:
         # Traced intrinsics (e.g. per-shard cy under SPMD row sharding);
@@ -123,6 +236,13 @@ def render_gaussians(
         means3d, quats, logit_op, scales, active, cam.w2c_array(),
         fx, fy, cx, cy, cam.width, cam.height, lim_wh=lim_wh,
     )
+    if pair_structure is not None:
+        # A stale structure may still list gaussians pruned (active=False)
+        # since it was built; zeroing their opacity reproduces the exact
+        # no-contribution semantics (alpha < 1/255 skip).
+        proj = proj._replace(
+            opacity=jnp.where(active, proj.opacity, 0.0)
+        )
 
     chans = [colors]
     if append_depth_channels:
@@ -139,7 +259,8 @@ def render_gaussians(
         xy = xy + means2d_dummy * scale
 
     img, overflow, n_pairs = _composite_backend(
-        config, cam, xy, proj.conic, proj.opacity, proj.depth, channels, aux
+        config, cam, xy, proj.conic, proj.opacity, proj.depth, channels, aux,
+        pair_structure=pair_structure,
     )
     return img, aux.radius, overflow, n_pairs
 
@@ -154,6 +275,7 @@ def render_rgbd_sil(
     active: jax.Array,
     config: RenderConfig = RenderConfig(),
     means2d_dummy: jax.Array | None = None,
+    pair_structure: PairStructure | None = None,
 ) -> RenderOutput:
     """Fused RGB + depth + silhouette + depth^2 render (six channels)."""
     img, radii, overflow, n_pairs = render_gaussians(
@@ -167,6 +289,7 @@ def render_rgbd_sil(
         config=config,
         means2d_dummy=means2d_dummy,
         append_depth_channels=True,
+        pair_structure=pair_structure,
     )
     return RenderOutput(
         im=img[:3],

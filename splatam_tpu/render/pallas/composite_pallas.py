@@ -178,9 +178,20 @@ def _fwd_kernel(grid_x: int, ch: int, pad_start_ref, lens_ref, attrs_hbm,
             chan, weight, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        om_applied = jnp.where(applied, om, 1.0)
-        t_col = t_col * _cumprod_lanes(om_applied, lane_idx)[:, C - 1 : C]
-        done_col = jnp.maximum(done_col, jnp.max(term_incl, axis=1, keepdims=True))
+        # Post-chunk transmittance without a third doubling scan: a pixel
+        # that terminates here keeps its T at the FIRST terminating lane
+        # (termination precedes applying), selectable as a max since zero
+        # elsewhere; a live non-terminating pixel multiplies by the full
+        # chunk product cp[last]; a previously-done pixel keeps t_col.
+        term_excl = jnp.where(lane_idx >= 1, pltpu.roll(term_incl, 1, 1), 0.0)
+        term_first = term_f * (1.0 - term_excl)
+        t_term = jnp.max(t_before * term_first, axis=1, keepdims=True)
+        any_term = jnp.max(term_incl, axis=1, keepdims=True)
+        t_live = t_col * cp[:, C - 1 : C]
+        t_col = jnp.where(
+            done_col > 0.5, t_col, jnp.where(any_term > 0.5, t_term, t_live)
+        )
+        done_col = jnp.maximum(done_col, any_term)
         kplus = jnp.where(applied, (lane_idx + i * C + 1).astype(jnp.float32), 0.0)
         nc_col = jnp.maximum(nc_col, jnp.max(kplus, axis=1, keepdims=True))
         all_done = jnp.min(done_col) > 0.5
@@ -521,12 +532,13 @@ def _composite_core(xy, conic, opacity, channels, pad_data, grid_x, num_tiles, c
 
 
 def _composite_core_fwd(xy, conic, opacity, channels, pad_data, grid_x, num_tiles, ch):
-    pad_gauss, pad_start, lens, dst, pair_gauss, counts, in_stream = pad_data
+    (pad_gauss, pad_start, lens, dst, counts, in_stream, gid_sorted,
+     dst_sorted) = pad_data
     attrs_rows = _pack_attrs_rows(xy, conic, opacity, channels)
     padded16 = attrs_rows[pad_gauss].T  # row gather, then one transpose
     out = composite_forward_pallas(padded16, pad_start, lens, grid_x, num_tiles, ch)
-    res = (padded16, pad_start, lens, dst, pair_gauss, counts, in_stream, out,
-           xy.shape[0])
+    res = (padded16, pad_start, lens, dst, counts, in_stream, gid_sorted,
+           dst_sorted, out, xy.shape[0])
     return out[:, :ch, :], res
 
 
@@ -535,24 +547,20 @@ def _composite_core_bwd(grid_x, num_tiles, ch, res, g_acc):
 
     The [16,P_pad] -> [N,16] scatter-add used in round 1 costs ~42 ms/iter
     on the current runtime (random row scatters are ~10x slower per byte
-    than streams). Instead: one sort groups pair grads by gaussian (the
-    grouped order equals the expansion order, so segment g starts at
-    offset[g]), a Pallas segmented scan leaves each segment's total at its
-    last slot, and one row gather at end_slot[g] = offset[g]+count[g]-1
-    extracts the per-gaussian sums.
+    than streams). Instead: the precomputed gaussian-grouped permutation
+    (api.pallas_layout — the grouped order equals the expansion order, so
+    segment g starts at offset[g]) gathers pair grads by gaussian, a Pallas
+    segmented scan leaves each segment's total at its last slot, and one
+    row gather at end_slot[g] = offset[g]+count[g]-1 extracts the
+    per-gaussian sums.
     """
-    (padded16, pad_start, lens, dst, pair_gauss, counts, in_stream, state,
-     n_gauss) = res
+    (padded16, pad_start, lens, dst, counts, in_stream, gid_sorted,
+     dst_sorted, state, n_gauss) = res
     dattrs = composite_backward_pallas(
         padded16, pad_start, lens, state, g_acc, grid_x, num_tiles, ch
     )  # [16, P_pad]; real-but-unreached slots are zero-filled by the kernel
-    pad_cap = dattrs.shape[1]
     pair_cap = dst.shape[0]
 
-    # Group pairs by gaussian: slots past n_pairs carry dst == pad_cap and
-    # get the sentinel id n_gauss, sorting to the tail with zero grads.
-    gid = jnp.where(dst < pad_cap, pair_gauss, jnp.int32(n_gauss))
-    gid_sorted, dst_sorted = jax.lax.sort_key_val(gid, dst, is_stable=False)
     grads_grouped = dattrs.T.at[dst_sorted].get(
         mode="fill", fill_value=0.0
     ).T  # [16, pair_cap]; XLA fuses the transposes into the gather
@@ -573,13 +581,14 @@ def _composite_core_bwd(grid_x, num_tiles, ch, res, g_acc):
     d_opa = d_all[:, 5]
     d_chan = d_all[:, 6:6 + ch]
     pd_cot = (
-        np.zeros((pad_cap,), jax.dtypes.float0),  # pad_gauss
+        np.zeros((dattrs.shape[1],), jax.dtypes.float0),  # pad_gauss
         np.zeros(pad_start.shape, jax.dtypes.float0),
         np.zeros(lens.shape, jax.dtypes.float0),
         np.zeros(dst.shape, jax.dtypes.float0),
-        np.zeros(pair_gauss.shape, jax.dtypes.float0),
         np.zeros(counts.shape, jax.dtypes.float0),
         np.zeros(in_stream.shape, jax.dtypes.float0),
+        np.zeros(gid_sorted.shape, jax.dtypes.float0),
+        np.zeros(dst_sorted.shape, jax.dtypes.float0),
     )
     return d_xy, d_con, d_opa, d_chan, pd_cot
 
@@ -587,20 +596,22 @@ def _composite_core_bwd(grid_x, num_tiles, ch, res, g_acc):
 _composite_core.defvjp(_composite_core_fwd, _composite_core_bwd)
 
 
-def composite(xy, conic, opacity, channels, bins, width, height):
-    """Drop-in for the tiles backend: returns ([C,H,W] image, overflow=0)."""
-    from splatam_tpu.render.binning import grid_shape, padded_layout
+def composite(xy, conic, opacity, channels, ps, width, height):
+    """Drop-in for the tiles backend: returns ([C,H,W] image, overflow=0).
+
+    `ps` is a render.api.PairStructure whose pallas layout fields are
+    populated (api.pallas_layout)."""
+    from splatam_tpu.render.binning import grid_shape
     from splatam_tpu.render.composite_jax import assemble_image
 
     grid_x, grid_y = grid_shape(width, height)
     num_tiles = grid_x * grid_y
     ch = channels.shape[1]
-    pad_cap = bins.pair_gauss.shape[0] + num_tiles * C
-    pad_gauss, pad_start, lens, dst = padded_layout(bins, num_tiles, pad_cap, align=C)
+    bins = ps.bins
     acc = _composite_core(
         xy, conic, opacity, channels,
-        (pad_gauss, pad_start, lens, dst, bins.pair_gauss, bins.counts,
-         bins.in_stream),
+        (ps.pad_gauss, ps.pad_start, ps.lens, ps.dst, bins.counts,
+         bins.in_stream, ps.gid_sorted, ps.dst_sorted),
         grid_x, num_tiles, ch,
     )
     img = assemble_image(acc, width, height)

@@ -82,4 +82,8 @@ def backfill_defaults(config: dict) -> dict:
     # >1 = row-shard render across a jax Mesh of that many devices
     # (parallel/spatial.py); 0/1 = single chip.
     tpu.setdefault("spatial_shards", 0)
+    # Pair-structure reuse (render.api.PairStructure): tracking rebins every
+    # K iterations, mapping computes one structure per distinct keyframe per
+    # chunk. 1 = exact per-iteration binning (reference semantics).
+    tpu.setdefault("rebin_every", 1)
     return config

@@ -84,6 +84,9 @@ def _make_datasets(config):
         gradslam_data_cfg = load_dataset_config(dataset_config["gradslam_data_cfg"])
     if "synthetic" in gradslam_data_cfg.get("dataset_name", "").lower():
         gradslam_data_cfg.setdefault("num_frames", dataset_config.get("num_frames", 30))
+        for knob in ("motion_scale", "depth_noise_sigma", "synthetic_seed"):
+            if knob in dataset_config:
+                gradslam_data_cfg.setdefault(knob, dataset_config[knob])
 
     def make(h, w):
         return get_dataset(
@@ -155,6 +158,10 @@ class SLAMRuntime:
 
             self.mesh = make_mesh(shards)
             print(f"[splatam-tpu] row-sharding renders over {shards} devices")
+        # Pair-structure reuse (render.api.PairStructure): tracking rebins
+        # every K iterations; mapping computes one structure per distinct
+        # keyframe per phase chunk. 1 = exact per-iteration binning.
+        self.rebin_every = int(tpu.get("rebin_every", 1))
         self.pcfg_track = _phase_cfg(config["tracking"])
         self.pcfg_map = _phase_cfg(config["mapping"])
         self.prune_cfg = _prune_cfg(config["mapping"])
@@ -359,6 +366,7 @@ class SLAMRuntime:
             self.pcfg_track,
             self._phase_rcfg(bucket, n_active),
             mesh=self.mesh,
+            rebin_every=self.rebin_every,
         )
         best_q.block_until_ready()
         self.cam_rots[time_idx] = np.asarray(best_q)
@@ -419,7 +427,7 @@ class SLAMRuntime:
         return selected
 
     def _mapping_inputs(self, time_idx: int, selected: list, num_iters: int):
-        slots, qs, ts = [], [], []
+        slots, qs, ts, frame_ids = [], [], [], []
         for _ in range(num_iters):
             rand_idx = np.random.randint(0, len(selected))
             sel = selected[rand_idx]
@@ -429,21 +437,43 @@ class SLAMRuntime:
             else:
                 frame_id = self.keyframe_list[sel]["id"]
                 slots.append(self.keyframe_list[sel]["slot"])
+            frame_ids.append(frame_id)
             qs.append(self.cam_rots[frame_id])
             ts.append(self.cam_trans[frame_id])
-        return (
+        inputs = (
             jnp.asarray(np.array(slots, np.int32)),
             jnp.asarray(np.stack(qs)),
             jnp.asarray(np.stack(ts)),
         )
+        if self.rebin_every <= 1:
+            return inputs + (None, None, None, None)
+        # Distinct-keyframe structure table for mapping_phase's
+        # reuse_structures path, padded to the (static) window size so the
+        # phase program compiles once.
+        uniq: dict = {}
+        iter_idx = [uniq.setdefault(f, len(uniq)) for f in frame_ids]
+        s_max = max(int(self.config["mapping_window_size"]), len(uniq))
+        rows = list(uniq)
+        rows += [rows[0]] * (s_max - len(rows))
+        struct_qs = jnp.asarray(np.stack([self.cam_rots[f] for f in rows]))
+        struct_ts = jnp.asarray(np.stack([self.cam_trans[f] for f in rows]))
+        return inputs + (
+            struct_qs,
+            struct_ts,
+            jnp.asarray(np.array(iter_idx, np.int32)),
+            jnp.int32(len(uniq)),
+        )
 
     def _run_mapping_chunk(self, gm_view, opt_state, gsvars, inputs, num_iters,
                            start_iter, rcfg, lrs, track_stats):
+        slots, qs, ts, struct_qs, struct_ts, iter_struct_idx, n_structs = inputs
         return steps.mapping_phase(
             gm_view,
             self.kf_colors,
             self.kf_depths,
-            *inputs,
+            slots,
+            qs,
+            ts,
             self.scene_radius,
             self.cam,
             num_iters,
@@ -456,6 +486,11 @@ class SLAMRuntime:
             jnp.int32(start_iter),
             track_stats,
             mesh=self.mesh,
+            reuse_structures=self.rebin_every > 1 and self.mesh is None,
+            struct_qs=struct_qs,
+            struct_ts=struct_ts,
+            iter_struct_idx=iter_struct_idx,
+            n_structs=n_structs,
         )
 
     def map_frame(self, time_idx: int, selected: list) -> None:

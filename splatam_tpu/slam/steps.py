@@ -99,13 +99,15 @@ def get_loss(
     do_ba: bool = False,
     means2d_dummy: jax.Array | None = None,
     mesh=None,
+    pair_structure=None,
 ):
     """Reference get_loss (scripts/splatam.py:214-347), fused renders.
 
     With `mesh` (a 1-D jax.sharding.Mesh), the render runs row-sharded over
     the devices (parallel/spatial.py) and the full image is gathered back,
     so every loss term below (masks, median, SSIM) is bit-identical to the
-    single-chip path."""
+    single-chip path. `pair_structure` reuses a precomputed binning
+    (render.api.PairStructure; single-chip path only)."""
     if tracking:
         means_cam, rots_cam = transform_to_frame(gm, q, t, False, True)
     elif mapping and do_ba:
@@ -138,6 +140,7 @@ def get_loss(
             gm.active,
             config=rcfg,
             means2d_dummy=means2d_dummy,
+            pair_structure=pair_structure,
         )
 
     depth = out.depth
@@ -190,11 +193,23 @@ def get_loss(
 # ---------------------------------------------------------------------------
 
 
+def loss_pair_structure(gm: GaussianMap, q, t, cam: Camera, rcfg: RenderConfig):
+    """The reusable binning structure for a get_loss render at this pose and
+    parameter snapshot (render.api.PairStructure)."""
+    from splatam_tpu.render.api import compute_pair_structure
+
+    means_cam, rots_cam = transform_to_frame(gm, sg(q), sg(t), False, False)
+    return compute_pair_structure(
+        cam, means_cam, rots_cam, gm.logit_opacities, gm.log_scales,
+        gm.active, rcfg,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "cam", "num_iters", "use_depth_loss_thres", "pcfg", "rcfg", "lr_q",
-        "lr_t", "mesh",
+        "lr_t", "mesh", "rebin_every",
     ),
 )
 def tracking_phase(
@@ -212,6 +227,7 @@ def tracking_phase(
     pcfg: PhaseConfig,
     rcfg: RenderConfig,
     mesh=None,
+    rebin_every: int = 1,
 ):
     """Whole tracking optimization for one frame in one jitted while_loop.
 
@@ -220,12 +236,19 @@ def tracking_phase(
     weighted im loss) per iteration (rows past iters_run are zero) — the
     host replays it for wandb's per-iteration report_loss
     (utils/eval_helpers.py:80-106).
-    """
 
-    def loss_fn(qt):
+    rebin_every > 1 recomputes the pair/tile binning structure only every
+    K-th iteration (render.api.PairStructure): the camera pose moves
+    sub-pixel per Adam step, so the stale candidate lists skip only
+    contributions the 1/255 alpha cutoff would skip anyway. 1 = exact
+    per-iteration binning (reference semantics).
+    """
+    use_rebin = rebin_every > 1 and mesh is None
+
+    def loss_fn(qt, ps):
         q, t = qt
         return get_loss(gm, q, t, color, depth_gt, cam, pcfg, rcfg, True, False,
-                        mesh=mesh)
+                        mesh=mesh, pair_structure=ps)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     lrs = (jnp.float32(lr_q), jnp.float32(lr_t))
@@ -235,8 +258,15 @@ def tracking_phase(
         return it < limit
 
     def body(carry):
-        it, limit, qt, st, best_q, best_t, min_loss, ovf, hist = carry
-        (loss, aux), grads = grad_fn(qt)
+        it, limit, qt, st, best_q, best_t, min_loss, ovf, hist, ps = carry
+        if use_rebin:
+            ps = jax.lax.cond(
+                (it > 0) & (it % rebin_every == 0),
+                lambda qt, ps: loss_pair_structure(gm, qt[0], qt[1], cam, rcfg),
+                lambda qt, ps: ps,
+                qt, ps,
+            )
+        (loss, aux), grads = grad_fn(qt, ps)
         ovf = jnp.maximum(ovf, aux.overflow)
         hist = hist.at[it].set(
             jnp.stack([loss, aux.weighted_depth_loss, aux.weighted_im_loss])
@@ -253,9 +283,10 @@ def tracking_phase(
             at_check = (it + 1 == num_iters) & (limit == num_iters)
             under = aux.weighted_depth_loss < depth_loss_thres
             limit = jnp.where(at_check & ~under, 2 * num_iters, limit)
-        return (it + 1, limit, qt, st, best_q, best_t, min_loss, ovf, hist)
+        return (it + 1, limit, qt, st, best_q, best_t, min_loss, ovf, hist, ps)
 
     st0 = optim.adam_init((q0, t0))
+    ps0 = loss_pair_structure(gm, q0, t0, cam, rcfg) if use_rebin else None
     carry0 = (
         jnp.int32(0),
         jnp.int32(num_iters),
@@ -266,8 +297,9 @@ def tracking_phase(
         jnp.float32(1e20),
         jnp.int32(0),
         jnp.zeros((2 * num_iters, 3), jnp.float32),
+        ps0,
     )
-    it, _, _, _, best_q, best_t, min_loss, ovf, hist = jax.lax.while_loop(
+    it, _, _, _, best_q, best_t, min_loss, ovf, hist, _ = jax.lax.while_loop(
         cond, body, carry0
     )
     return best_q, best_t, it, min_loss, ovf, hist
@@ -315,7 +347,7 @@ def _prune_mask(params, active, it, scene_radius, pc: PruneConfig):
     jax.jit,
     static_argnames=(
         "cam", "num_iters", "pcfg", "rcfg", "prune_cfg", "lrs", "track_stats",
-        "mesh",
+        "mesh", "reuse_structures",
     ),
 )
 def mapping_phase(
@@ -337,6 +369,11 @@ def mapping_phase(
     start_iter: jax.Array = jnp.int32(0),  # absolute iter of this chunk
     track_stats: bool = False,
     mesh=None,
+    reuse_structures: bool = False,
+    struct_qs: jax.Array | None = None,  # [S_max, 4] distinct keyframe poses
+    struct_ts: jax.Array | None = None,  # [S_max, 3]
+    iter_struct_idx: jax.Array | None = None,  # [num_iters] int32 -> struct row
+    n_structs: jax.Array | None = None,  # scalar int32: live struct rows
 ):
     """Mapping iterations for one frame in one jitted fori_loop.
 
@@ -345,6 +382,13 @@ def mapping_phase(
     between (parity: the prune/densify schedule inside the reference's
     mapping loop, scripts/splatam.py:828-891). Prune/reset schedules use
     the ABSOLUTE iteration (start_iter + i).
+
+    With `reuse_structures`, the pair/tile binning structure of every
+    DISTINCT keyframe in this chunk is computed once up front from the
+    chunk-start parameters (render.api.PairStructure; the host supplies the
+    distinct pose table + per-iteration row index), and iterations reuse
+    their keyframe's structure — params drift at 1e-4-scale mapping lrs,
+    and pruned gaussians are silenced exactly via zeroed opacity.
 
     Returns (GaussianMap, opt_state, gsvars, summed loss, overflow max,
     loss_hist [num_iters, 3] of (loss, w_depth, w_im) per iteration).
@@ -357,8 +401,35 @@ def mapping_phase(
         gm.log_scales,
     )
     lr_tuple = tuple(jnp.float32(lr) for lr in lrs)
+    use_ps = reuse_structures and mesh is None
 
-    def loss_fn(params, dummy, active, q, t, color, depth_gt):
+    if use_ps:
+        s_max = struct_qs.shape[0]
+        ps_proto = loss_pair_structure(gm, struct_qs[0], struct_ts[0], cam, rcfg)
+        ps_stack = jax.tree.map(
+            lambda p: jnp.zeros((s_max,) + p.shape, p.dtype).at[0].set(p),
+            ps_proto,
+        )
+
+        def fill(i, stack):
+            # Only the live rows pay the structure compute; padding rows
+            # take the (free) zeros branch.
+            ps = jax.lax.cond(
+                i < n_structs,
+                lambda: loss_pair_structure(
+                    gm, struct_qs[i], struct_ts[i], cam, rcfg
+                ),
+                lambda: jax.tree.map(jnp.zeros_like, ps_proto),
+            )
+            return jax.tree.map(
+                lambda s, p: jax.lax.dynamic_update_index_in_dim(s, p, i, 0),
+                stack, ps,
+            )
+
+        if s_max > 1:
+            ps_stack = jax.lax.fori_loop(1, s_max, fill, ps_stack)
+
+    def loss_fn(params, dummy, active, q, t, color, depth_gt, ps):
         gm_i = gm._replace(
             means3d=params[0],
             rgb_colors=params[1],
@@ -369,7 +440,7 @@ def mapping_phase(
         )
         return get_loss(
             gm_i, q, t, color, depth_gt, cam, pcfg, rcfg, False, True,
-            means2d_dummy=dummy, mesh=mesh,
+            means2d_dummy=dummy, mesh=mesh, pair_structure=ps,
         )
 
     if track_stats:
@@ -386,9 +457,16 @@ def mapping_phase(
         )
         depth_gt = kf_depths[slot]
         q, t = iter_qs[i], iter_ts[i]
+        ps = (
+            jax.tree.map(lambda x: x[iter_struct_idx[i]], ps_stack)
+            if use_ps
+            else None
+        )
 
         dummy = jnp.zeros((gm.capacity, 2), jnp.float32)
-        (loss, aux), grad_out = grad_fn(params, dummy, active, q, t, color, depth_gt)
+        (loss, aux), grad_out = grad_fn(
+            params, dummy, active, q, t, color, depth_gt, ps
+        )
         grads = grad_out[0]
         if track_stats:
             # 3DGS densification statistics (utils/slam_external.py:100-104).
