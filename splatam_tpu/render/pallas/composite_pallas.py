@@ -63,15 +63,6 @@ def _cumprod_lanes(x, lane_idx):
     return x
 
 
-def _cummax_lanes(x, lane_idx):
-    shift = 1
-    while shift < C:
-        rolled = pltpu.roll(x, shift, 1)
-        x = jnp.maximum(x, jnp.where(lane_idx >= shift, rolled, 0.0))
-        shift *= 2
-    return x
-
-
 def _col_to_row(x):
     """(PIX, 1) -> (1, PIX) via identity matmul (sublane->lane transpose)."""
     r = jax.lax.broadcasted_iota(jnp.int32, (PIX, PIX), 0)
@@ -165,12 +156,14 @@ def _fwd_kernel(grid_x: int, ch: int, pad_start_ref, lens_ref, attrs_hbm,
         cp = _cumprod_lanes(om, lane_idx)
         cpe = cp / om  # exclusive; om >= 0.01 after the 0.99 clamp
         t_before = t_col * cpe
-        test = t_before * om
+        # Transmittance u = t_col*cp is monotone non-increasing along lanes
+        # (skip lanes hold om=1), so termination — the reference's
+        # "T*(1-alpha) < 1e-4 -> done, this gaussian does not contribute" —
+        # is simply u < T_EPS, prefix-closed with NO cummax scan: a lane
+        # applies iff it is non-skipped, the pixel is live, and u >= T_EPS.
+        u = t_before * om  # == t_col * cp
         live = done_col < 0.5
-        term = (~q["skip"] & (test < T_EPS)) & live
-        term_f = term.astype(jnp.float32)
-        term_incl = _cummax_lanes(term_f, lane_idx)
-        applied = (~q["skip"]) & live & ((term_incl - term_f) < 0.5) & ~term
+        applied = (~q["skip"]) & live & (u >= T_EPS)
 
         weight = jnp.where(applied, q["alpha"] * t_before, 0.0)  # (PIX, C)
         chan = a[6:6 + ch, :]  # (ch, C)
@@ -178,15 +171,19 @@ def _fwd_kernel(grid_x: int, ch: int, pad_start_ref, lens_ref, attrs_hbm,
             chan, weight, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        # Post-chunk transmittance without a third doubling scan: a pixel
-        # that terminates here keeps its T at the FIRST terminating lane
-        # (termination precedes applying), selectable as a max since zero
-        # elsewhere; a live non-terminating pixel multiplies by the full
-        # chunk product cp[last]; a previously-done pixel keeps t_col.
-        term_excl = jnp.where(lane_idx >= 1, pltpu.roll(term_incl, 1, 1), 0.0)
-        term_first = term_f * (1.0 - term_excl)
+        # Post-chunk transmittance: a terminating pixel keeps its T at the
+        # FIRST crossing lane (u drops below T_EPS exactly where the
+        # previous non-skipped u — which equals t_before here — was still
+        # above), max-selectable since zero elsewhere; a live
+        # non-terminating pixel multiplies by the chunk product cp[last];
+        # a previously-done pixel keeps t_col.
+        term_first = (
+            (~q["skip"]) & live & (u < T_EPS) & (t_before >= T_EPS)
+        ).astype(jnp.float32)
         t_term = jnp.max(t_before * term_first, axis=1, keepdims=True)
-        any_term = jnp.max(term_incl, axis=1, keepdims=True)
+        any_term = (
+            live & (u[:, C - 1 : C] < T_EPS) & (t_col >= T_EPS)
+        ).astype(jnp.float32)
         t_live = t_col * cp[:, C - 1 : C]
         t_col = jnp.where(
             done_col > 0.5, t_col, jnp.where(any_term > 0.5, t_term, t_live)

@@ -76,7 +76,11 @@ def backfill_defaults(config: dict) -> dict:
     # Capacity for the masked Gaussian buffers: frame-0 init creates up to
     # H*W Gaussians, densification adds more; grow-on-demand handles the rest.
     tpu.setdefault("capacity", _next_pow2(int(h * w * 1.25)))
-    tpu.setdefault("pair_cap", _next_pow2(int(h * w * 2)))
+    # CEILING on the adaptive per-phase pair budget (pipeline._phase_rcfg
+    # sizes the actual buffers to ~2x the live map). Pairs scale with the
+    # MAP, not the image, so the ceiling must not be image-derived alone —
+    # long sequences grow past h*w*2 and would silently drop pairs.
+    tpu.setdefault("pair_cap", max(_next_pow2(int(h * w * 2)), 1 << 21))
     tpu.setdefault("tile_k_max", 2048)
     tpu.setdefault("backend", "auto")
     # >1 = row-shard render across a jax Mesh of that many devices

@@ -162,6 +162,7 @@ class SLAMRuntime:
         # every K iterations; mapping computes one structure per distinct
         # keyframe per phase chunk. 1 = exact per-iteration binning.
         self.rebin_every = int(tpu.get("rebin_every", 1))
+        self.pair_margin = 2.0  # pairs per live gaussian; grows on overflow
         self.pcfg_track = _phase_cfg(config["tracking"])
         self.pcfg_map = _phase_cfg(config["mapping"])
         self.prune_cfg = _prune_cfg(config["mapping"])
@@ -238,29 +239,58 @@ class SLAMRuntime:
 
     # -------------------------------------------------------------------
     def _bucket(self, n_active: int) -> int:
-        # 4x granularity: fewer distinct shapes -> fewer phase recompiles
-        # (compilation is expensive relative to the ~2x upper-bound waste,
-        # and the waste is bounded by the next bucket anyway).
+        # 4x granularity while the map is small (fewer distinct shapes ->
+        # fewer phase recompiles), 2x above 256k where the up-to-4x padded
+        # compute of a pow-4 bucket costs far more than one extra compile
+        # (a 4.2M bucket at 1.2M active gaussians would waste ~3x of every
+        # iteration).
         b = 4096
-        while b < n_active:
+        while b < n_active and b < (1 << 18):
             b *= 4
+        while b < n_active:
+            b *= 2
         return min(b, self.gm.capacity)
 
     def _phase_rcfg(self, bucket: int, n_active: int | None = None) -> RenderConfig:
         # Pair buffers scale with the LIVE map (measured ~1.7-1.9 tiles per
         # visible gaussian), at 128k granularity so the expansion+sort don't
-        # pay the power-of-two bucket's up-to-2x slack. Overflow telemetry
-        # warns if a scene ever exceeds the 2.0x margin.
+        # pay the power-of-two bucket's up-to-2x slack. pair_margin starts
+        # at 2.0 and grows when a phase reports overflow (the phase is then
+        # retried — see _bump_pair_margin).
         if n_active is None:
             n_active = bucket
         gran = 1 << 17
-        budget = ((int(n_active * 2.0) + gran - 1) // gran) * gran
+        budget = ((int(n_active * self.pair_margin) + gran - 1) // gran) * gran
         pair_cap = max(1 << 16, min(budget, int(self.config["tpu"]["pair_cap"])))
         return RenderConfig(
             backend=self.rcfg.backend,
             pair_cap=pair_cap,
             tile_k_max=self.rcfg.tile_k_max,
         )
+
+    def _bump_pair_margin(self, n_active: int, ovf: int, cur_cap: int,
+                          phase: str) -> bool:
+        """Grow the pairs-per-gaussian margin after an overflow so the
+        retried phase (and all later frames) get big enough buffers.
+        Returns False when the config ceiling already clamps the budget."""
+        needed = cur_cap + ovf
+        ceiling = int(self.config["tpu"]["pair_cap"])
+        if cur_cap >= ceiling:
+            print(
+                f"[splatam-tpu] WARNING: {phase} dropped {ovf} pairs but the"
+                f" tpu.pair_cap ceiling ({ceiling}) is already reached —"
+                f" raise tpu.pair_cap in the config"
+            )
+            return False
+        self.pair_margin = max(
+            self.pair_margin * 1.5, needed * 1.15 / max(n_active, 1)
+        )
+        print(
+            f"[splatam-tpu] {phase} pair overflow ({ovf} dropped) — growing"
+            f" pair margin to {self.pair_margin:.2f} pairs/gaussian and"
+            f" retrying"
+        )
+        return True
 
     def compact(self):
         """Re-pack active Gaussians into a dense prefix (once per frame)."""
@@ -351,35 +381,41 @@ class SLAMRuntime:
         gm_view, _ = G.slice_prefix(self.gm, self.timestep, bucket)
         q0 = jnp.asarray(self.cam_rots[time_idx])
         t0 = jnp.asarray(self.cam_trans[time_idx])
-        best_q, best_t, iters, _loss, ovf, hist = steps.tracking_phase(
-            gm_view,
-            q0,
-            t0,
-            tr_color,
-            tr_depth,
-            self.tracking_cam,
-            int(cfg_t["num_iters"]),
-            bool(cfg_t["use_depth_loss_thres"]),
-            float(cfg_t["depth_loss_thres"]),
-            float(cfg_t["lrs"]["cam_unnorm_rots"]),
-            float(cfg_t["lrs"]["cam_trans"]),
-            self.pcfg_track,
-            self._phase_rcfg(bucket, n_active),
-            mesh=self.mesh,
-            rebin_every=self.rebin_every,
-        )
+        for _attempt in range(4):
+            rcfg = self._phase_rcfg(bucket, n_active)
+            best_q, best_t, iters, _loss, ovf, hist = steps.tracking_phase(
+                gm_view,
+                q0,
+                t0,
+                tr_color,
+                tr_depth,
+                self.tracking_cam,
+                int(cfg_t["num_iters"]),
+                bool(cfg_t["use_depth_loss_thres"]),
+                float(cfg_t["depth_loss_thres"]),
+                float(cfg_t["lrs"]["cam_unnorm_rots"]),
+                float(cfg_t["lrs"]["cam_trans"]),
+                self.pcfg_track,
+                rcfg,
+                mesh=self.mesh,
+                rebin_every=self.rebin_every,
+            )
+            if int(ovf) == 0 or not self._bump_pair_margin(
+                n_active, int(ovf), rcfg.pair_cap, "tracking"
+            ):
+                break
         best_q.block_until_ready()
         self.cam_rots[time_idx] = np.asarray(best_q)
         self.cam_trans[time_idx] = np.asarray(best_t)
         self._iters_run = int(iters)
         self._tracking_hist = np.asarray(hist)[: self._iters_run]
-        if int(ovf) > 0:
-            print(f"[splatam-tpu] WARNING: pair buffer overflow ({int(ovf)}) in tracking")
 
     def densify_frame(self, time_idx: int, d_color, d_depth) -> None:
         q = jnp.asarray(self.cam_rots[time_idx])
         t = jnp.asarray(self.cam_trans[time_idx])
         while True:
+            n_active = int(self.gm.num_active())
+            rcfg = self._phase_rcfg(self.gm.capacity, n_active)
             gm2, ts2, n_added, n_dropped, ovf = steps.densify_step(
                 self.gm,
                 self.timestep,
@@ -390,9 +426,13 @@ class SLAMRuntime:
                 jnp.int32(time_idx),
                 self.densify_cam,
                 float(self.config["mapping"]["sil_thres"]),
-                self.rcfg,
+                rcfg,
                 mesh=self.mesh,
             )
+            if int(ovf) > 0 and self._bump_pair_margin(
+                n_active, int(ovf), rcfg.pair_cap, "densify"
+            ):
+                continue
             if int(n_dropped) > 0:
                 need = self.gm.capacity + int(n_dropped)
                 new_cap = self.gm.capacity
@@ -402,8 +442,6 @@ class SLAMRuntime:
                 continue
             break
         self.gm, self.timestep = gm2, ts2
-        if int(ovf) > 0:
-            print(f"[splatam-tpu] WARNING: pair buffer overflow ({int(ovf)}) in densify")
 
     def select_keyframes(self, time_idx: int, depth_np: np.ndarray) -> list:
         """Returns the reference's selected_keyframes list (kf indices, -1 =
@@ -522,14 +560,18 @@ class SLAMRuntime:
 
         if not use_densify:
             inputs = self._mapping_inputs(time_idx, selected, num_iters)
-            gm2, _, _, _, ovf, hist = self._run_mapping_chunk(
-                gm_view, opt_state, gsvars, inputs, num_iters, 0, rcfg, lrs, False
-            )
+            for _attempt in range(4):
+                gm2, _, _, _, ovf, hist = self._run_mapping_chunk(
+                    gm_view, opt_state, gsvars, inputs, num_iters, 0, rcfg, lrs, False
+                )
+                if int(ovf) == 0 or not self._bump_pair_margin(
+                    n_active, int(ovf), rcfg.pair_cap, "mapping"
+                ):
+                    break
+                rcfg = self._phase_rcfg(bucket, n_active)
             gm2.means3d.block_until_ready()
             self.gm = G.write_prefix(self.gm, gm2)
             self._mapping_hist = np.asarray(hist)
-            if int(ovf) > 0:
-                print(f"[splatam-tpu] WARNING: pair buffer overflow ({int(ovf)}) in mapping")
             return
 
         # 3DGS gradient densification inside the mapping loop (reference
@@ -548,13 +590,18 @@ class SLAMRuntime:
         while it < num_iters:
             n = min(dcfg.densify_every, num_iters - it)
             inputs = self._mapping_inputs(time_idx, selected, n)
-            gm_view, opt_state, gsvars, _, ovf, hist = self._run_mapping_chunk(
-                gm_view, opt_state, gsvars, inputs, n, it, rcfg, lrs, True
-            )
+            for _attempt in range(4):
+                gm2, opt2, gsv2, _, ovf, hist = self._run_mapping_chunk(
+                    gm_view, opt_state, gsvars, inputs, n, it, rcfg, lrs, True
+                )
+                if int(ovf) == 0 or not self._bump_pair_margin(
+                    n_active, int(ovf), rcfg.pair_cap, "mapping"
+                ):
+                    break
+                rcfg = self._phase_rcfg(bucket, n_active)
+            gm_view, opt_state, gsvars = gm2, opt2, gsv2
             hist_chunks.append(np.asarray(hist))
             it += n
-            if int(ovf) > 0:
-                print(f"[splatam-tpu] WARNING: pair buffer overflow ({int(ovf)}) in mapping")
             if (
                 it <= dcfg.stop_after
                 and it >= dcfg.start_after
