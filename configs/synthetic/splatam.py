@@ -110,10 +110,12 @@ config = dict(
         viz_fps=5,
         enter_interactive_post_online=True,
     ),
+    # Buffer capacities intentionally omitted: backfill_defaults sizes them
+    # from the image (capacity ~ 1.25*H*W, pair_cap ceiling >= 2^21) and the
+    # runtime grows them on demand. Hardcoding small values here once
+    # silently truncated pair lists at gauntlet scale, which the densifier
+    # read as unmapped area — a runaway-map death spiral.
     tpu=dict(
-        capacity=1 << 16,
-        pair_cap=1 << 17,
-        tile_k_max=512,
         backend="auto",
     ),
 )

@@ -47,8 +47,12 @@ def run_variant(name: str, frames: int, h: int, w: int, rebin: int,
     config["data"]["desired_image_height"] = h
     config["data"]["desired_image_width"] = w
     config["data"]["num_frames"] = frames
-    # Rotation-heavy trajectory + optional TUM-like depth noise.
-    config["data"]["motion_scale"] = 3.0
+    # Rotation-heavy trajectory (~60deg of view sweep — enough that
+    # constant-velocity init + tracking are genuinely exercised, while the
+    # map stays in the few-hundred-k range a quality gate should run at;
+    # motion_scale 3 turns this into a whole-room stress scan with a
+    # multi-million-gaussian map) + optional TUM-like depth noise.
+    config["data"]["motion_scale"] = 2.0
     if name == "noise":
         config["data"]["depth_noise_sigma"] = 0.01
         config["tracking"]["ignore_outlier_depth_loss"] = True

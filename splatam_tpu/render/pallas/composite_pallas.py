@@ -277,6 +277,17 @@ def _bwd_kernel(grid_x: int, ch: int, pad_start_ref, lens_ref, attrs_hbm,
             dsem.at[slot],
         )
 
+    # Pixel-moment basis (1, px, py, px^2, px*py, py^2) — loop-invariant,
+    # hoisted out of the chunk walk. TILE is a power of two so the integer
+    # div lowers to a shift.
+    jpix = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    pyr = (jpix // TILE).astype(jnp.float32)
+    pxr = (jpix - (jpix // TILE) * TILE).astype(jnp.float32)
+    ones_row = jnp.ones((1, PIX), jnp.float32)
+    bmat = jnp.concatenate(
+        [ones_row, pxr, pyr, pxr * pxr, pxr * pyr, pyr * pyr], axis=0
+    )  # (6, PIX)
+
     # Double buffering (reverse walk): prefetch chunk i-1 while computing i;
     # grad writes stream out asynchronously on alternating buffers.
     @pl.when(n_chunks > 0)
@@ -337,17 +348,35 @@ def _bwd_kernel(grid_x: int, ch: int, pad_start_ref, lens_ref, attrs_hbm,
         dalpha = jnp.where(applied, (u - v_next) * t_before, 0.0)
         not_clamped = q["alpha_un"] <= ALPHA_MAX
         dG = jnp.where(not_clamped, a[5:6, :] * dalpha, 0.0)
-        dopa = jnp.sum(
-            jnp.where(not_clamped, q["gval"] * dalpha, 0.0), axis=0, keepdims=True
-        )  # (1, C)
-
-        dx, dy, ca, cb, cc = q["dx"], q["dy"], q["ca"], q["cb"], q["cc"]
         dpower = dG * q["gval"]
-        dxy_x = jnp.sum(dpower * -(ca * dx + cb * dy), axis=0, keepdims=True)
-        dxy_y = jnp.sum(dpower * -(cc * dy + cb * dx), axis=0, keepdims=True)
-        dcon_a = jnp.sum(dpower * (-0.5 * dx * dx), axis=0, keepdims=True)
-        dcon_b = jnp.sum(dpower * (-dx * dy), axis=0, keepdims=True)
-        dcon_c = jnp.sum(dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
+        # All five xy/conic gradients and dopa are linear combinations of
+        # the six pixel moments M_ij = sum_p dpower * px^i py^j (i+j <= 2):
+        # dx = A - px with lane-constant A = mx - ox, so e.g.
+        # sum_p dpower*dx^2 = A^2 M00 - 2A M10 + M20, and dpower already
+        # carries op*gval so dopa = M00 / op. ONE MXU matmul (the moment
+        # contraction) replaces five (PIX, C) products + six sublane
+        # reductions.
+        m6 = jax.lax.dot_general(
+            bmat, dpower, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (6, C): moments against rows 1, px, py, px^2, px*py, py^2
+        m0, mx, my = m6[0:1, :], m6[1:2, :], m6[2:3, :]
+        mxx, mxy, myy = m6[3:4, :], m6[4:5, :], m6[5:6, :]
+        av = a[0:1, :] - ox
+        bv = a[1:2, :] - oy
+        ca, cb, cc = q["ca"], q["cb"], q["cc"]
+        s_x = av * m0 - mx
+        s_y = bv * m0 - my
+        s_xx = av * av * m0 - 2.0 * av * mx + mxx
+        s_xy = av * bv * m0 - av * my - bv * mx + mxy
+        s_yy = bv * bv * m0 - 2.0 * bv * my + myy
+        dxy_x = -(ca * s_x + cb * s_y)
+        dxy_y = -(cc * s_y + cb * s_x)
+        dcon_a = -0.5 * s_xx
+        dcon_b = -s_xy
+        dcon_c = -0.5 * s_yy
+        op = a[5:6, :]
+        dopa = jnp.where(op > 0.0, m0 / op, 0.0)
 
         # Wait for the write that used this buffer two chunks ago, refill,
         # and stream it out without blocking the next chunk's compute.

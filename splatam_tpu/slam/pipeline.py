@@ -58,6 +58,13 @@ def _prune_cfg(mapping: dict) -> steps.PruneConfig:
     )
 
 
+def _next_pow2_int(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
 def _w2c_from_qt(q: np.ndarray, t: np.ndarray) -> np.ndarray:
     w2c = np.eye(4, dtype=np.float32)
     qn = q / np.linalg.norm(q)
@@ -272,16 +279,28 @@ class SLAMRuntime:
                           phase: str) -> bool:
         """Grow the pairs-per-gaussian margin after an overflow so the
         retried phase (and all later frames) get big enough buffers.
-        Returns False when the config ceiling already clamps the budget."""
+
+        The tpu.pair_cap ceiling itself grows (up to tpu.pair_cap_max)
+        rather than refusing: a truncated pair list renders holes, the
+        densifier reads the holes as unmapped area, and the map explodes —
+        a silent-drop ceiling turns one overflow into a death spiral.
+        Returns False only at the hard memory bound."""
         needed = cur_cap + ovf
-        ceiling = int(self.config["tpu"]["pair_cap"])
-        if cur_cap >= ceiling:
+        tpu = self.config["tpu"]
+        ceiling = int(tpu["pair_cap"])
+        hard_max = int(tpu.get("pair_cap_max", 1 << 23))
+        if cur_cap >= hard_max:
             print(
-                f"[splatam-tpu] WARNING: {phase} dropped {ovf} pairs but the"
-                f" tpu.pair_cap ceiling ({ceiling}) is already reached —"
-                f" raise tpu.pair_cap in the config"
+                f"[splatam-tpu] WARNING: {phase} dropped {ovf} pairs at the"
+                f" hard pair_cap_max ({hard_max}) — renders are truncated;"
+                f" raise tpu.pair_cap_max if memory allows"
             )
             return False
+        if needed > ceiling:
+            tpu["pair_cap"] = min(_next_pow2_int(int(needed * 1.15)), hard_max)
+            print(
+                f"[splatam-tpu] raised tpu.pair_cap ceiling to {tpu['pair_cap']}"
+            )
         self.pair_margin = max(
             self.pair_margin * 1.5, needed * 1.15 / max(n_active, 1)
         )
@@ -928,6 +947,9 @@ def rgbd_slam(config: dict) -> dict:
 
     # ---- Final eval + params.npz --------------------------------------
     final_params = rt.export_params()
+    # Use the run-adapted pair budget, not the init-time config: the pair
+    # margin/ceiling may have grown with the map during the run.
+    n_final = int(rt.gm.num_active())
     metrics = eval_sequence(
         rt.dataset,
         final_params,
@@ -937,7 +959,7 @@ def rgbd_slam(config: dict) -> dict:
         mapping_iters=config["mapping"]["num_iters"],
         add_new_gaussians=config["mapping"]["add_new_gaussians"],
         eval_every=config["eval_every"],
-        rcfg=rt.rcfg,
+        rcfg=rt._phase_rcfg(n_final, n_final),
     )
     save_params(final_params, rt.output_dir)
     metrics["runtime"] = {

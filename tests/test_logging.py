@@ -39,3 +39,34 @@ def test_non_serializable_values_coerced(tmp_path):
     lg.finish()
     rec = json.loads(open(tmp_path / "wandb_fallback.jsonl").readline())
     assert rec["val"] == 2.5
+
+
+def test_pair_margin_bump_logic():
+    """Overflow retries grow the pairs-per-gaussian margin AND the pair_cap
+    ceiling (a silent-drop ceiling turns one overflow into a densification
+    death spiral); only the hard memory bound refuses."""
+    from splatam_tpu.slam.pipeline import SLAMRuntime
+
+    rt = SLAMRuntime.__new__(SLAMRuntime)  # no full init needed
+    rt.config = {"tpu": {"pair_cap": 1 << 20}}
+    rt.pair_margin = 2.0
+    assert rt._bump_pair_margin(100_000, 50_000, 262_144, "tracking")
+    assert rt.pair_margin >= 3.0  # (262k+50k)*1.15/100k or 1.5x
+    # At the old ceiling: the ceiling itself grows and the retry proceeds.
+    assert rt._bump_pair_margin(100_000, 500_000, 1 << 20, "tracking")
+    assert rt.config["tpu"]["pair_cap"] > 1 << 20
+    # Only the hard bound refuses.
+    assert not rt._bump_pair_margin(100_000, 50_000, 1 << 23, "tracking")
+
+
+def test_phase_rcfg_scales_with_margin():
+    from splatam_tpu.render.api import RenderConfig
+    from splatam_tpu.slam.pipeline import SLAMRuntime
+
+    rt = SLAMRuntime.__new__(SLAMRuntime)
+    rt.config = {"tpu": {"pair_cap": 1 << 21}}
+    rt.rcfg = RenderConfig(backend="tiles", pair_cap=1 << 21, tile_k_max=512)
+    rt.pair_margin = 2.0
+    base = rt._phase_rcfg(1 << 18, 200_000).pair_cap
+    rt.pair_margin = 4.0
+    assert rt._phase_rcfg(1 << 18, 200_000).pair_cap > base
