@@ -765,6 +765,27 @@ def rgbd_slam(config: dict) -> dict:
     )
     wandb_time_step, wandb_mapping_step = 0, 0
     viz_tracking_loss = bool(config["tracking"].get("visualize_tracking_loss", False))
+    report_iter = bool(config.get("report_iter_progress", False))
+
+    def _replay_iter_progress(hist, phase: str, frame: int) -> None:
+        """report_iter_progress parity (utils/eval_helpers.py:246-254): the
+        reference drives a tqdm postfix live inside the optimization loop;
+        our phases run fused in one jit, so the recorded per-iteration loss
+        history is replayed into a bar right after the phase."""
+        if hist is None or len(hist) == 0:
+            return
+        from tqdm import tqdm as _tqdm
+
+        bar = _tqdm(
+            hist, desc=f"{phase} Time Step: {frame}", leave=False,
+            total=len(hist),
+        )
+        for row in bar:
+            bar.set_postfix(
+                {"Loss": f"{float(row[0]):.6f}",
+                 "Depth": f"{float(row[1]):.4f}", "Im": f"{float(row[2]):.4f}"}
+            )
+        bar.close()
 
     checkpoint_time_idx = 0
     if config["load_checkpoint"]:
@@ -818,6 +839,8 @@ def rgbd_slam(config: dict) -> dict:
                         {"loss": row[0], "depth": row[1], "im": row[2]},
                         wandb_time_step, tracking=True,
                     )
+            if report_iter:
+                _replay_iter_progress(rt._tracking_hist, "Tracking", time_idx)
             if viz_tracking_loss:
                 _save_tracking_loss_viz(rt, time_idx, tr_color, tr_depth)
         elif time_idx > 0 and use_gt_poses:
@@ -888,6 +911,8 @@ def rgbd_slam(config: dict) -> dict:
             stats["mapping_frame_time_count"] += 1
             stats["mapping_iter_time_sum"] += mapping_time
             stats["mapping_iter_time_count"] += int(config["mapping"]["num_iters"])
+            if report_iter:
+                _replay_iter_progress(rt._mapping_hist, "Mapping", time_idx)
             if logger.enabled:
                 if rt._mapping_hist is not None:
                     for row in rt._mapping_hist:
