@@ -34,6 +34,165 @@ def timeit(fn, reps=10, warmup=2):
     return float(np.median(ts))
 
 
+def timed_loop(name, body, x0, K=20, reps=3):
+    """Hoist-proof in-loop timing: K iterations inside ONE jit, the float
+    input perturbed per iteration (data-dependence chain prevents XLA from
+    hoisting loop-invariant subgraphs or collapsing iterations). Returns
+    amortized seconds/iteration — the number that matches how the real
+    phase programs (fori/while loops) execute."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(x):
+        def f(i, carry):
+            x, acc = carry
+            out = body(x + acc * 1e-30 + jnp.float32(i) * 1e-9)
+            leaves = [
+                jnp.sum(l[..., :1].astype(jnp.float32)) if l.ndim
+                else l.astype(jnp.float32)
+                for l in jax.tree.leaves(out)
+            ]
+            return (x, acc + sum(leaves) * 1e-20)
+
+        _, acc = jax.lax.fori_loop(0, K, f, (x, jnp.float32(0.0)))
+        return acc
+
+    jax.block_until_ready(run(x0))  # compile + warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(x0))
+        ts.append((time.perf_counter() - t0) / K)
+    t = float(np.median(ts))
+    print(f"{name:<44s} {t*1e3:8.2f} ms/iter")
+    return t
+
+
+def run_stages(args, gm, cam, rcfg, q, t, color, depth_gt):
+    """Stage-by-stage in-loop breakdown of one fwd+bwd iteration."""
+    import jax
+    import jax.numpy as jnp
+
+    from splatam_tpu.render import binning as B
+    from splatam_tpu.render import projection as P
+    from splatam_tpu.render.api import _num_tiles, _prep_gaussians
+    from splatam_tpu.render.pallas import composite_pallas as CP
+    from splatam_tpu.slam import steps
+
+    w, h = cam.width, cam.height
+    grid_x, _ = B.grid_shape(w, h)
+    num_tiles = _num_tiles(w, h)
+    ch = 6
+
+    quats, logit_op_a, scales = _prep_gaussians(
+        gm.unnorm_rotations, gm.logit_opacities, gm.log_scales
+    )
+    w2c = cam.w2c_array()
+
+    def proj_fn(m):
+        return P.project(
+            m, quats, logit_op_a, scales, gm.active, w2c,
+            cam.fx, cam.fy, cam.cx, cam.cy, w, h,
+        )
+
+    proj, aux = jax.jit(proj_fn)(gm.means3d)
+    ps = jax.jit(
+        lambda: steps.loss_pair_structure(gm, q, t, cam, rcfg)
+    )()
+    ones = jnp.ones_like(proj.depth)
+    channels = jnp.concatenate(
+        [gm.rgb_colors, jnp.stack([proj.depth, ones, proj.depth**2], -1)], -1
+    )
+
+    timed_loop("projection fwd", proj_fn, gm.means3d)
+    timed_loop(
+        "ps build (proj+bins+layout+grouped sort)",
+        lambda m: steps.loss_pair_structure(
+            gm._replace(means3d=m), q, t, cam, rcfg
+        ),
+        gm.means3d,
+    )
+
+    def gather_fn(xy):
+        rows = CP._pack_attrs_rows(xy, proj.conic, proj.opacity, channels)
+        return rows[ps.pad_gauss].T
+
+    padded16 = jax.jit(gather_fn)(proj.xy)
+    timed_loop("attr gather + transpose", gather_fn, proj.xy)
+
+    fwd_fn = lambda p: CP.composite_forward_pallas(
+        p, ps.pad_start, ps.lens, grid_x, num_tiles, ch
+    )
+    state = jax.jit(fwd_fn)(padded16)
+    timed_loop("pallas fwd kernel", fwd_fn, padded16)
+
+    g_acc = jnp.ones((num_tiles, ch, CP.PIX), jnp.float32)
+    bwd_fn = lambda g: CP.composite_backward_pallas(
+        padded16, ps.pad_start, ps.lens, state, g, grid_x, num_tiles, ch
+    )
+    dattrs = jax.jit(bwd_fn)(g_acc)
+    timed_loop("pallas bwd kernel", bwd_fn, g_acc)
+
+    timed_loop(
+        "grouped grad gather",
+        lambda d: d.T.at[ps.dst_sorted].get(mode="fill", fill_value=0.0).T,
+        dattrs,
+    )
+    grads_grouped = jax.jit(
+        lambda d: d.T.at[ps.dst_sorted].get(mode="fill", fill_value=0.0).T
+    )(dattrs)
+    timed_loop(
+        "pallas segment scan",
+        lambda g: CP.segment_reduce_scan_pallas(g, ps.gid_sorted),
+        grads_grouped,
+    )
+
+    pcfg = steps.PhaseConfig(
+        use_sil_for_loss=True, sil_thres=0.99, use_l1=True,
+        ignore_outlier_depth_loss=False, w_im=0.5, w_depth=1.0,
+    )
+
+    def track_grad(m):
+        def f(qt):
+            loss, _ = steps.get_loss(
+                gm._replace(means3d=m), qt[0], qt[1], color, depth_gt, cam,
+                pcfg, rcfg, True, False, pair_structure=ps,
+            )
+            return loss
+        return jax.grad(f)((q, t))
+
+    timed_loop("tracking get_loss fwd+bwd (reused ps)", track_grad,
+               gm.means3d, K=10)
+
+    mcfg = steps.PhaseConfig(
+        use_sil_for_loss=False, sil_thres=0.5, use_l1=True,
+        ignore_outlier_depth_loss=False, w_im=0.5, w_depth=1.0,
+    )
+
+    def map_grad(m):
+        def f(params):
+            g2 = gm._replace(
+                means3d=params[0], rgb_colors=params[1],
+                unnorm_rotations=params[2], logit_opacities=params[3],
+                log_scales=params[4],
+            )
+            loss, _ = steps.get_loss(
+                g2, q, t, color, depth_gt, cam, mcfg, rcfg, False, True,
+                pair_structure=ps,
+            )
+            return loss
+        return jax.grad(f)(
+            (m, gm.rgb_colors, gm.unnorm_rotations, gm.logit_opacities,
+             gm.log_scales)
+        )
+
+    timed_loop("mapping get_loss fwd+bwd (reused ps)", map_grad,
+               gm.means3d, K=10)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=262144)
@@ -41,6 +200,8 @@ def main():
     ap.add_argument("--w", type=int, default=600)
     ap.add_argument("--pair_cap", type=int, default=1 << 20)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--stages", action="store_true",
+                    help="in-loop per-stage breakdown (slower to compile)")
     args = ap.parse_args()
 
     import jax
@@ -86,6 +247,10 @@ def main():
     color = jnp.zeros((3, h, w), jnp.float32)
     depth_gt = jnp.full((h, w), 3.0, jnp.float32)
     rcfg = RenderConfig(pair_cap=args.pair_cap)
+
+    if args.stages:
+        run_stages(args, gm, cam, rcfg, q, t, color, depth_gt)
+        return
 
     # ---- pair structure -------------------------------------------------
     build = jax.jit(

@@ -28,12 +28,20 @@ def _look_at(eye, target, up=(0.0, -1.0, 0.0)):
 
 
 def _texture(p: np.ndarray) -> np.ndarray:
-    """Smooth procedural 3D texture -> [N, 3] colors in [0, 1]."""
+    """Procedural 3D texture -> [N, 3] colors in [0, 1].
+
+    Two octaves: the smooth base plus a higher-frequency detail band —
+    without the detail band the photometric loss is nearly gradient-free
+    over meter scales and camera drift along textureless walls is a scene
+    ambiguity rather than a tracker property."""
     x, y, z = p[..., 0], p[..., 1], p[..., 2]
     r = 0.5 + 0.35 * np.sin(2.1 * x + 0.5) * np.cos(1.7 * z)
     g = 0.5 + 0.35 * np.sin(1.3 * y + 1.1) * np.cos(2.3 * x)
     b = 0.5 + 0.35 * np.sin(1.9 * z + 2.0) * np.cos(1.1 * y)
-    return np.stack([r, g, b], axis=-1)
+    d = 0.12 * np.sin(7.9 * x + 1.7) * np.sin(6.3 * y + 0.4) * np.sin(8.7 * z)
+    d2 = 0.08 * np.cos(12.1 * x) * np.cos(9.7 * z + 2.2)
+    out = np.stack([r + d, g + d2, b + 0.5 * (d + d2)], axis=-1)
+    return np.clip(out, 0.0, 1.0)
 
 
 def _raycast_box(origins: np.ndarray, dirs: np.ndarray, half: float) -> np.ndarray:
@@ -43,6 +51,52 @@ def _raycast_box(origins: np.ndarray, dirs: np.ndarray, half: float) -> np.ndarr
         t_lo = (-half - origins) / dirs
     t_far = np.maximum(t_hi, t_lo)  # exit distance per axis
     return np.min(t_far, axis=-1)
+
+
+# Interior clutter (world units, inside the default 6 m room, clear of the
+# ~0.8 m camera orbit around the origin): an empty box room is geometrically
+# degenerate — depth constrains only wall-normal motion, so wall-parallel
+# drift is unobservable. Spheres and a pillar give the depth channel
+# full-rank pose gradients, like furniture does in Replica rooms.
+_SPHERES = np.array(
+    [  # cx, cy, cz, radius
+        [1.9, 0.7, 1.6, 0.55],
+        [-1.8, 0.9, 1.9, 0.45],
+        [1.6, -1.0, -1.8, 0.50],
+        [-1.7, -0.6, -1.6, 0.40],
+        [0.1, 1.1, 2.3, 0.35],
+    ],
+    dtype=np.float64,
+)
+_PILLAR = np.array([[-2.45, -3.0, -0.6], [-1.85, 3.0, 0.0]], dtype=np.float64)
+
+
+def _raycast_spheres(origins: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+    """Nearest positive hit distance over _SPHERES (inf on miss)."""
+    t_best = np.full(origins.shape[:-1], np.inf)
+    a = np.sum(dirs * dirs, axis=-1)
+    for cx, cy, cz, rad in _SPHERES:
+        oc = origins - np.array([cx, cy, cz])
+        b = np.sum(oc * dirs, axis=-1)
+        c0 = np.sum(oc * oc, axis=-1) - rad * rad
+        disc = b * b - a * c0
+        with np.errstate(invalid="ignore"):
+            sq = np.sqrt(np.maximum(disc, 0.0))
+            t = (-b - sq) / a
+        hit = (disc > 0.0) & (t > 1e-6)
+        t_best = np.where(hit, np.minimum(t_best, t), t_best)
+    return t_best
+
+
+def _raycast_pillar(origins: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+    """Entry distance into the interior pillar AABB (inf on miss)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t0 = (_PILLAR[0] - origins) / dirs
+        t1 = (_PILLAR[1] - origins) / dirs
+    t_near = np.max(np.minimum(t0, t1), axis=-1)
+    t_far = np.min(np.maximum(t0, t1), axis=-1)
+    hit = (t_near < t_far) & (t_near > 1e-6)
+    return np.where(hit, t_near, np.inf)
 
 
 class SyntheticDataset:
@@ -122,6 +176,8 @@ class SyntheticDataset:
         dirs_world = dirs_cam @ c2w[:3, :3].T
         origins = np.broadcast_to(c2w[:3, 3], dirs_world.shape)
         t = _raycast_box(origins, dirs_world, self.room_half)
+        t = np.minimum(t, _raycast_spheres(origins, dirs_world))
+        t = np.minimum(t, _raycast_pillar(origins, dirs_world))
         depth = t  # z-depth: dirs_cam z component is 1, so t*|d| z-proj == t
         pts = origins + t[..., None] * dirs_world
         color = _texture(pts) * 255.0

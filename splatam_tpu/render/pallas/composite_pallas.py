@@ -7,10 +7,11 @@ of the attribute-major pair array from HBM (contiguous DMA), and composites
 its 16x16 pixels entirely on-chip.
 
 Data orientation: PIXELS on sublanes (256), GAUSSIANS on lanes (chunks of
-C=128). All sequential-compositing recurrences become lane-axis doubling
-scans (pltpu.roll), channel contractions are MXU dot_generals, and the only
-sublane<->lane transposes are three (256,1)->(1,256) vectors per tile, done
-with an identity-matmul.
+C=128). The sequential-compositing recurrences (transmittance cumprod,
+backward affine suffix scan) run in log space as single triangular MXU
+matmuls (_tri_lanes) instead of log2(C)-deep roll chains; channel
+contractions are MXU dot_generals, and the only sublane<->lane transposes
+are three (256,1)->(1,256) vectors per tile, done with an identity-matmul.
 
 Per-chunk math mirrors the verified XLA compositor
 (render/composite_jax.py): cumprod transmittance, prefix-or termination,
@@ -53,14 +54,53 @@ def _lane_idx():
     return jax.lax.broadcasted_iota(jnp.int32, (PIX, C), 1)
 
 
-def _cumprod_lanes(x, lane_idx):
-    """Inclusive cumprod along lanes (axis 1) via doubling."""
-    shift = 1
-    while shift < C:
-        rolled = pltpu.roll(x, shift, 1)
-        x = x * jnp.where(lane_idx >= shift, rolled, 1.0)
-        shift *= 2
-    return x
+_LN2 = 0.6931471805599453
+_SQRT2 = 1.4142135623730951
+
+
+def _accurate_log(x):
+    """f32 log to ~2 ulp. Mosaic's native log approximation has ~3.7e-4
+    relative error — summed across a 128-lane log-space cumprod that would
+    blow the renderer's 1e-4 parity budget (native exp is ~5e-6, fine).
+    Exponent/mantissa split by bitcast, then 2*atanh((m-1)/(m+1)) series
+    on m in [sqrt2/2, sqrt2]."""
+    bits = pltpu.bitcast(x, jnp.int32)
+    e = ((bits >> 23) & 0xFF) - 127
+    m = pltpu.bitcast((bits & 0x7FFFFF) | 0x3F800000, jnp.float32)  # [1, 2)
+    big = m > _SQRT2
+    m = jnp.where(big, m * 0.5, m)
+    e = jnp.where(big, e + 1, e)
+    s = (m - 1.0) / (m + 1.0)
+    s2 = s * s
+    p = 2.0 / 9.0
+    p = p * s2 + 2.0 / 7.0
+    p = p * s2 + 2.0 / 5.0
+    p = p * s2 + 2.0 / 3.0
+    p = p * s2 + 2.0
+    return e.astype(jnp.float32) * _LN2 + s * p
+
+
+def _tri_lanes(suffix: bool):
+    """(C, C) f32 triangular ones: L[j, c] = j <= c (prefix-inclusive) or
+    j >= c (suffix-inclusive). One dot_general against it turns a lane-axis
+    cumsum into a single MXU op — the doubling-roll scans this replaces are
+    a log2(C)=7-deep dependency chain of VPU rolls, which dominated the
+    per-chunk critical path."""
+    jc = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    kc = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    return ((jc >= kc) if suffix else (jc <= kc)).astype(jnp.float32)
+
+
+def _lane_matmul(x, tri):
+    """x (PIX, C) · tri (C, C) -> (PIX, C) lane-axis running sum.
+
+    HIGHEST precision is required: the log-space sums feed exp, so a bf16
+    pass's 4e-3 relative error would exceed the renderer's parity budget."""
+    return jax.lax.dot_general(
+        x, tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _col_to_row(x):
@@ -114,6 +154,7 @@ def _fwd_kernel(grid_x: int, ch: int, pad_start_ref, lens_ref, attrs_hbm,
     oy = (ty * TILE).astype(jnp.float32)
     pxc, pyc = _pix_cols()
     lane_idx = _lane_idx()
+    ltri = _tri_lanes(suffix=False)
 
     acc0 = jnp.zeros((ch, PIX), jnp.float32)
     t0 = jnp.ones((PIX, 1), jnp.float32)
@@ -153,8 +194,13 @@ def _fwd_kernel(grid_x: int, ch: int, pad_start_ref, lens_ref, attrs_hbm,
 
         ae = jnp.where(q["skip"], 0.0, q["alpha"])
         om = 1.0 - ae
-        cp = _cumprod_lanes(om, lane_idx)
-        cpe = cp / om  # exclusive; om >= 0.01 after the 0.99 clamp
+        # Inclusive lane cumprod in log space: om in [0.01, 1] (0.99 alpha
+        # clamp; skip lanes hold exactly 1.0 -> log 0), so the log-sum is
+        # well-conditioned and one MXU matmul replaces the 7-roll scan.
+        lg = _accurate_log(om)
+        lgcum = _lane_matmul(lg, ltri)
+        cp = jnp.exp(lgcum)
+        cpe = jnp.exp(lgcum - lg)  # exclusive cumprod
         t_before = t_col * cpe
         # Transmittance u = t_col*cp is monotone non-increasing along lanes
         # (skip lanes hold om=1), so termination — the reference's
@@ -287,6 +333,7 @@ def _bwd_kernel(grid_x: int, ch: int, pad_start_ref, lens_ref, attrs_hbm,
     bmat = jnp.concatenate(
         [ones_row, pxr, pyr, pxr * pxr, pxr * pyr, pyr * pyr], axis=0
     )  # (6, PIX)
+    utri = _tri_lanes(suffix=True)
 
     # Double buffering (reverse walk): prefetch chunk i-1 while computing i;
     # grad writes stream out asynchronously on alternating buffers.
@@ -319,22 +366,20 @@ def _bwd_kernel(grid_x: int, ch: int, pad_start_ref, lens_ref, attrs_hbm,
             preferred_element_type=jnp.float32,
         )  # (PIX, C)
 
-        # v_c = om_c v_{c+1} + alpha_c u_c (applied) via reversed affine
-        # scan; its multiplier accumulator doubles as the reverse cumprod
-        # s_rev[c] = prod_{j>=c} om_j, saving a separate scan.
+        # The reversed affine scan v_c = om_c v_{c+1} + alpha_c u_c unrolls
+        # to v_c = s_rev_c * (v_end + sum_{j>=c} b_j / s_rev_j) with
+        # s_rev_c = prod_{j>=c} om_j — two suffix sums, each one MXU matmul
+        # (log-space cumprod + a scaled suffix sum), replacing the 7-step
+        # doubling recurrence. Conditioning: every applied lane keeps
+        # transmittance >= T_EPS, so within-chunk s_rev in [1e-4, 1] and
+        # b/s_rev amplifies by at most 1e4 before the s_rev_c prefactor
+        # scales the summation error back down.
         bvec = jnp.where(applied, q["alpha"] * u, 0.0)
-        m_acc = om
-        b_acc = bvec
-        shift = 1
-        while shift < C:
-            valid = lane_idx < C - shift
-            b_roll = pltpu.roll(b_acc, C - shift, 1)
-            m_roll = pltpu.roll(m_acc, C - shift, 1)
-            b_acc = b_acc + m_acc * jnp.where(valid, b_roll, 0.0)
-            m_acc = m_acc * jnp.where(valid, m_roll, 1.0)
-            shift *= 2
-        s_rev = m_acc  # prod_{j>=c} om_j
-        v_inc = m_acc * v_end + b_acc  # (PIX, C)
+        lg = _accurate_log(om)  # om in [0.01, 1]; non-applied lanes exactly 1.0
+        lgsuf = _lane_matmul(lg, utri)
+        s_rev = jnp.exp(lgsuf)  # prod_{j>=c} om_j
+        r = bvec * jnp.exp(-lgsuf)
+        v_inc = s_rev * (v_end + _lane_matmul(r, utri))  # (PIX, C)
         v_next = jnp.where(lane_idx < C - 1, pltpu.roll(v_inc, C - 1, 1), v_end)
 
         t_before = t_end / s_rev  # exact for applied entries

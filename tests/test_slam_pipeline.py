@@ -17,7 +17,10 @@ def small_config(tmp_path, **overrides):
     config["data"]["desired_image_width"] = 64
     config["data"]["num_frames"] = 6
     config["tracking"]["num_iters"] = 8
-    config["mapping"]["num_iters"] = 10
+    # 16 mapping iters: the synthetic scene's high-frequency texture octave
+    # needs a few more steps than the old smooth-only texture to clear the
+    # PSNR floors at 48x64 (tight quality gating lives in scripts/gauntlet.py).
+    config["mapping"]["num_iters"] = 16
     config["mapping_window_size"] = 5
     config["keyframe_every"] = 2
     config["tpu"] = dict(capacity=1 << 13, pair_cap=1 << 15, tile_k_max=2048, backend="tiles")
