@@ -170,6 +170,11 @@ class SLAMRuntime:
         # keyframe per phase chunk. 1 = exact per-iteration binning.
         self.rebin_every = int(tpu.get("rebin_every", 1))
         self.pair_margin = 2.0  # pairs per live gaussian; grows on overflow
+        # Async precompile of upcoming bucket/pair-ladder shapes (see
+        # _maybe_precompile). Keyed by (bucket, pair_cap).
+        self._precompiled: set = set()
+        self._last_n_active = 0
+        self._growth = 0
         self.pcfg_track = _phase_cfg(config["tracking"])
         self.pcfg_map = _phase_cfg(config["mapping"])
         self.prune_cfg = _prune_cfg(config["mapping"])
@@ -310,6 +315,125 @@ class SLAMRuntime:
             f" retrying"
         )
         return True
+
+    # -------------------------------------------------------------------
+    def _maybe_precompile(self) -> None:
+        """Overlap phase-program recompiles with frame compute.
+
+        Every bucket-ladder or pair-ladder crossing recompiles both phase
+        programs (~4-5 s spikes in the frame loop — the round-1 bench tail
+        showed 6x-median frames at each crossing). Predict the shapes a few
+        frames of map growth will need and AOT-compile them in a daemon
+        thread: .lower().compile() runs on the host only (no device buffers,
+        no TPU step) and populates the persistent XLA cache, so the later
+        real call deserializes in ~1 s instead of paying the full compile.
+        """
+        if os.environ.get("SPLATAM_NO_PRECOMPILE"):
+            return
+        n_active = int(self.gm.num_active())
+        growth = max(0, n_active - self._last_n_active)
+        self._last_n_active = n_active
+        self._growth = max(growth, int(self._growth * 0.7))  # decaying max
+        if self._growth == 0:
+            return
+        n_pred = min(n_active + 4 * self._growth, self.gm.capacity)
+        bucket_p = self._bucket(n_pred)
+        rcfg_p = self._phase_rcfg(bucket_p, n_pred)
+        bucket_now = self._bucket(n_active)
+        rcfg_now = self._phase_rcfg(bucket_now, n_active)
+        key = (bucket_p, rcfg_p.pair_cap)
+        if key == (bucket_now, rcfg_now.pair_cap) or key in self._precompiled:
+            return
+        self._precompiled.add(key)
+        import threading
+
+        packed = self._build_precompile_args(bucket_p, rcfg_p)
+        threading.Thread(
+            target=self._compile_phases, args=(packed, key), daemon=True
+        ).start()
+
+    def _build_precompile_args(self, bucket: int, rcfg: RenderConfig):
+        """ShapeDtypeStruct arg trees for both phase programs at (bucket,
+        rcfg) — built on the main thread so the worker never reads self."""
+        sds = lambda shape, dtype: jax.ShapeDtypeStruct(shape, dtype)
+        lead = lambda x: jax.ShapeDtypeStruct(
+            (bucket,) + tuple(x.shape[1:]), x.dtype
+        )
+        gm_s = G.GaussianMap(*[lead(x) for x in self.gm])
+        f32 = jnp.float32
+        cfg_t = self.config["tracking"]
+        tc = self.tracking_cam
+        t_args = (
+            gm_s,
+            sds((4,), f32),
+            sds((3,), f32),
+            sds((3, tc.height, tc.width), f32),
+            sds((tc.height, tc.width), f32),
+            tc,
+            int(cfg_t["num_iters"]),
+            bool(cfg_t["use_depth_loss_thres"]),
+            float(cfg_t["depth_loss_thres"]),
+            float(cfg_t["lrs"]["cam_unnorm_rots"]),
+            float(cfg_t["lrs"]["cam_trans"]),
+            self.pcfg_track,
+            rcfg,
+        )
+        t_kwargs = dict(mesh=self.mesh, rebin_every=self.rebin_every)
+
+        cfg_m = self.config["mapping"]
+        num_iters = int(cfg_m["num_iters"])
+        use_densify = cfg_m.get("use_gaussian_splatting_densification", False)
+        if use_densify:
+            num_iters = min(num_iters, int(cfg_m["densify_dict"]["densify_every"]))
+        lrs_d = cfg_m["lrs"]
+        lrs = (
+            float(lrs_d["means3D"]), float(lrs_d["rgb_colors"]),
+            float(lrs_d["unnorm_rotations"]), float(lrs_d["logit_opacities"]),
+            float(lrs_d["log_scales"]),
+        )
+        params_s = (gm_s.means3d, gm_s.rgb_colors, gm_s.unnorm_rotations,
+                    gm_s.logit_opacities, gm_s.log_scales)
+        opt_s = optim.AdamState(m=params_s, v=params_s, step=sds((), jnp.int32))
+        gsv = sds((bucket,), f32)
+        reuse = self.rebin_every > 1 and self.mesh is None
+        s_max = max(int(self.config["mapping_window_size"]), 1)
+        m_args = (
+            gm_s,
+            sds(self.kf_colors.shape, self.kf_colors.dtype),
+            sds(self.kf_depths.shape, self.kf_depths.dtype),
+            sds((num_iters,), jnp.int32),
+            sds((num_iters, 4), f32),
+            sds((num_iters, 3), f32),
+            sds((), f32),
+            self.cam,
+            num_iters,
+            self.pcfg_map,
+            rcfg,
+            self.prune_cfg,
+            lrs,
+            opt_s,
+            (gsv, gsv, gsv),
+            sds((), jnp.int32),
+            bool(use_densify),
+        )
+        m_kwargs = dict(
+            mesh=self.mesh,
+            reuse_structures=reuse,
+            struct_qs=sds((s_max, 4), f32) if reuse else None,
+            struct_ts=sds((s_max, 3), f32) if reuse else None,
+            iter_struct_idx=sds((num_iters,), jnp.int32) if reuse else None,
+            n_structs=sds((), jnp.int32) if reuse else None,
+        )
+        return (t_args, t_kwargs), (m_args, m_kwargs)
+
+    @staticmethod
+    def _compile_phases(packed, key) -> None:
+        try:
+            (t_args, t_kwargs), (m_args, m_kwargs) = packed
+            steps.tracking_phase.lower(*t_args, **t_kwargs).compile()
+            steps.mapping_phase.lower(*m_args, **m_kwargs).compile()
+        except Exception as e:  # background best-effort; the real call
+            print(f"[splatam-tpu] async precompile {key} failed: {e!r}")
 
     def compact(self):
         """Re-pack active Gaussians into a dense prefix (once per frame)."""
@@ -551,6 +675,14 @@ class SLAMRuntime:
         )
 
     def map_frame(self, time_idx: int, selected: list) -> None:
+        try:
+            self._map_frame_impl(time_idx, selected)
+        finally:
+            # Kick background compiles for the shapes the growing map will
+            # need next, so ladder crossings don't stall the frame loop.
+            self._maybe_precompile()
+
+    def _map_frame_impl(self, time_idx: int, selected: list) -> None:
         cfg_m = self.config["mapping"]
         num_iters = int(cfg_m["num_iters"])
         if num_iters == 0:
