@@ -86,16 +86,35 @@ def main():
                 rt.cam_rots[time_idx] = rt.cam_rots[time_idx - 1]
                 rt.cam_trans[time_idx] = rt.cam_trans[time_idx - 1]
 
+        stages = os.environ.get("BENCH_STAGES") == "1"
+        marks = [time.time()]
+
+        def mark():
+            if stages:
+                jax.block_until_ready(rt.gm.means3d)
+                marks.append(time.time())
+
         t0 = time.time()
         rt.compact()
+        mark()
         if time_idx > 0:
             rt.track_frame(time_idx, color, depth)
+            mark()
             rt.densify_frame(time_idx, color, depth)
+            mark()
         selected = rt.select_keyframes(time_idx, depth_np)
+        mark()
         rt._stage_keyframe(rt.kf_scratch_slot, color_np, depth_np)
+        mark()
         rt.map_frame(time_idx, selected)
         rt.gm.means3d.block_until_ready()
         dt = time.time() - t0
+        if stages and time_idx > 0:
+            names = ["compact", "track", "densify", "select_kf", "stage_kf", "map"]
+            marks.append(time.time())
+            deltas = [b - a for a, b in zip(marks, marks[1:])]
+            print("  " + "  ".join(f"{n}={d:.3f}s" for n, d in zip(names, deltas)),
+                  file=sys.stderr)
 
         if (time_idx == 0) or ((time_idx + 1) % config["keyframe_every"] == 0):
             slot = len(rt.keyframe_list)

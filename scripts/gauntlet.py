@@ -33,7 +33,7 @@ THRESHOLDS = {
 
 
 def run_variant(name: str, frames: int, h: int, w: int, rebin: int,
-                workdir: str) -> dict:
+                workdir: str, track_iters: int = 60) -> dict:
     from splatam_tpu.slam.config import load_experiment_config, seed_everything
     from splatam_tpu.slam.pipeline import rgbd_slam
 
@@ -53,10 +53,20 @@ def run_variant(name: str, frames: int, h: int, w: int, rebin: int,
     # motion_scale 3 turns this into a whole-room stress scan with a
     # multi-million-gaussian map) + optional TUM-like depth noise.
     config["data"]["motion_scale"] = 2.0
+    # Outlier depth rejection during tracking, as the reference configures
+    # on its non-Replica datasets (/root/reference/configs/tum/splatam.py,
+    # scannet): masking pixels where the young map is still wrong removes
+    # the biased gradients that otherwise accumulate ~1.5 cm of drift over
+    # this trajectory (measured: 1.63 cm without, 0.91 cm with, on the
+    # HARDER noise variant).
+    config["tracking"]["ignore_outlier_depth_loss"] = True
     if name == "noise":
         config["data"]["depth_noise_sigma"] = 0.01
-        config["tracking"]["ignore_outlier_depth_loss"] = True
-    config["tracking"]["num_iters"] = 40
+    # The reference scales tracking iters with per-frame motion difficulty
+    # (Replica 40 @ ~0.25deg/frame, ScanNet 100, ScanNet++ 200 — see
+    # /root/reference/configs/*/splatam.py); this trajectory moves ~2x
+    # Replica per frame, so 60 is the matched budget.
+    config["tracking"]["num_iters"] = track_iters
     config["tracking"]["use_gt_poses"] = False
     config["mapping"]["num_iters"] = 60
     config["mapping_window_size"] = 24
@@ -79,6 +89,7 @@ def main():
     ap.add_argument("--h", type=int, default=240)
     ap.add_argument("--w", type=int, default=320)
     ap.add_argument("--rebin", type=int, default=8)
+    ap.add_argument("--track_iters", type=int, default=60)
     ap.add_argument("--variant", default="both", choices=["clean", "noise", "both"])
     ap.add_argument("--workdir", default="/tmp/splatam_gauntlet")
     args = ap.parse_args()
@@ -87,7 +98,8 @@ def main():
     results, failures = {}, []
     for name in variants:
         print(f"\n===== gauntlet variant: {name} =====")
-        m = run_variant(name, args.frames, args.h, args.w, args.rebin, args.workdir)
+        m = run_variant(name, args.frames, args.h, args.w, args.rebin,
+                        args.workdir, args.track_iters)
         ate_cm = m["ate_rmse"] * 100
         results[name] = {
             "ate_cm": round(ate_cm, 4),

@@ -85,7 +85,7 @@ def run_stages(args, gm, cam, rcfg, q, t, color, depth_gt):
     w, h = cam.width, cam.height
     grid_x, _ = B.grid_shape(w, h)
     num_tiles = _num_tiles(w, h)
-    ch = 6
+    ch = 5  # [r, g, b, z, z^2]; silhouette comes from the tracked T
 
     quats, logit_op_a, scales = _prep_gaussians(
         gm.unnorm_rotations, gm.logit_opacities, gm.log_scales
@@ -102,9 +102,8 @@ def run_stages(args, gm, cam, rcfg, q, t, color, depth_gt):
     ps = jax.jit(
         lambda: steps.loss_pair_structure(gm, q, t, cam, rcfg)
     )()
-    ones = jnp.ones_like(proj.depth)
     channels = jnp.concatenate(
-        [gm.rgb_colors, jnp.stack([proj.depth, ones, proj.depth**2], -1)], -1
+        [gm.rgb_colors, jnp.stack([proj.depth, proj.depth**2], -1)], -1
     )
 
     timed_loop("projection fwd", proj_fn, gm.means3d)
@@ -115,6 +114,22 @@ def run_stages(args, gm, cam, rcfg, q, t, color, depth_gt):
         ),
         gm.means3d,
     )
+
+    def bins_fn(m):
+        p, ax = proj_fn(m)
+        return B.build_bins(p, ax, w, h, rcfg.pair_cap, far=cam.far)
+
+    timed_loop("  proj + build_bins (spread+key sort)", bins_fn, gm.means3d)
+
+    from splatam_tpu.render.api import pallas_layout as _pl
+
+    bins0 = jax.jit(bins_fn)(gm.means3d)
+
+    def layout_fn(x):
+        b2 = bins0._replace(pair_gauss=bins0.pair_gauss + (x[0, 0] * 0).astype(jnp.int32))
+        return _pl(b2, num_tiles, gm.means3d.shape[0])
+
+    timed_loop("  padded layout + grouped sort", layout_fn, gm.means3d)
 
     def gather_fn(xy):
         rows = CP._pack_attrs_rows(xy, proj.conic, proj.opacity, channels)
@@ -129,7 +144,7 @@ def run_stages(args, gm, cam, rcfg, q, t, color, depth_gt):
     state = jax.jit(fwd_fn)(padded16)
     timed_loop("pallas fwd kernel", fwd_fn, padded16)
 
-    g_acc = jnp.ones((num_tiles, ch, CP.PIX), jnp.float32)
+    g_acc = jnp.ones((num_tiles, ch + 1, CP.PIX), jnp.float32)
     bwd_fn = lambda g: CP.composite_backward_pallas(
         padded16, ps.pad_start, ps.lens, state, g, grid_x, num_tiles, ch
     )

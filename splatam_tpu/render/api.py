@@ -244,10 +244,22 @@ def render_gaussians(
             opacity=jnp.where(active, proj.opacity, 0.0)
         )
 
+    backend = config.resolve_backend()
     chans = [colors]
     if append_depth_channels:
-        ones = jnp.ones_like(proj.depth)
-        chans.append(jnp.stack([proj.depth, ones, proj.depth * proj.depth], axis=-1))
+        if backend == "pallas":
+            # The pallas compositor emits the silhouette from its tracked
+            # transmittance (sil == 1 - T_final) instead of compositing a
+            # stored constant-1 channel — only [z, z^2] are appended here
+            # and the rows are re-ordered to the public layout below.
+            chans.append(
+                jnp.stack([proj.depth, proj.depth * proj.depth], axis=-1)
+            )
+        else:
+            ones = jnp.ones_like(proj.depth)
+            chans.append(
+                jnp.stack([proj.depth, ones, proj.depth * proj.depth], axis=-1)
+            )
     channels = jnp.concatenate(chans, axis=-1) if len(chans) > 1 else colors
 
     xy = proj.xy
@@ -262,6 +274,16 @@ def render_gaussians(
         config, cam, xy, proj.conic, proj.opacity, proj.depth, channels, aux,
         pair_structure=pair_structure,
     )
+    if backend == "pallas":
+        nu = channels.shape[1]
+        if append_depth_channels:
+            # pallas rows [user..., z, z^2, sil] -> public [user..., z, sil,
+            # z^2] (matching the tiles/naive [z, ones, z^2] channel order).
+            img = jnp.concatenate(
+                [img[: nu - 1], img[nu : nu + 1], img[nu - 1 : nu]], axis=0
+            )
+        else:
+            img = img[:nu]  # drop the appended silhouette row
     return img, aux.radius, overflow, n_pairs
 
 

@@ -39,6 +39,12 @@ from splatam_tpu.render.projection import TILE
 
 PIX = TILE * TILE  # 256
 C = 128  # gaussians per chunk == DMA alignment
+# 16 attr rows: xy(2) conic(3) opacity(1) + up to 5 channels + pad (DMA
+# slices must be sublane-multiples of 8, so 12 is not legal). The constant
+# silhouette channel is NOT stored: sil == 1 - T_final exactly (telescoping
+# sum of weights, early termination included), so the kernel emits it from
+# the transmittance it tracks anyway — one less row in every channel
+# contraction and one more free row for future channels.
 ATTR_W = 16
 
 
@@ -251,15 +257,18 @@ def _fwd_kernel(grid_x: int, ch: int, pad_start_ref, lens_ref, attrs_hbm,
         chunk_dma(processed).wait()
 
     out_ref[0, :ch, :] = acc
-    out_ref[0, ch:ch + 1, :] = _col_to_row(t_col)
+    # Row ch: silhouette == 1 - T_final (exact; see ATTR_W note). The
+    # backward reconstructs T_final as 1 - sil.
+    out_ref[0, ch:ch + 1, :] = 1.0 - _col_to_row(t_col)
     out_ref[0, ch + 1:ch + 2, :] = _col_to_row(nc_col)
 
 
 @functools.partial(jax.jit, static_argnames=("grid_x", "num_tiles", "ch"))
 def composite_forward_pallas(attrs16, pad_start, lens, grid_x, num_tiles, ch):
-    """attrs16 [16, P_pad] f32, pad_start [T+1], lens [T].
+    """attrs16 [ATTR_W, P_pad] f32, pad_start [T+1], lens [T].
 
-    Returns out [T, ch+2, 256]: channels, then T_final, then n_contrib."""
+    Returns out [T, ch+2, 256]: channels, then silhouette (1 - T_final),
+    then n_contrib."""
     kernel = functools.partial(_fwd_kernel, grid_x, ch)
     out = pl.pallas_call(
         kernel,
@@ -297,14 +306,18 @@ def _bwd_kernel(grid_x: int, ch: int, pad_start_ref, lens_ref, attrs_hbm,
     st_dma = pltpu.make_async_copy(packed_hbm.at[t], gscratch, gsem)
     st_dma.start()
     st_dma.wait()
-    gacc = gscratch[0:ch, :]  # (ch, PIX)
-    t_final = _row_to_col(gscratch[ch:ch + 1, :])  # (PIX, 1)
-    nc_col = _row_to_col(gscratch[ch + 1:ch + 2, :])
+    gacc = gscratch[0:ch, :]  # (ch, PIX) channel cotangents
+    # Row ch: silhouette cotangent. The stored sil output is sum_i w_i (as
+    # 1 - T_final), identical to compositing a constant-1 channel, so its
+    # cotangent enters u as a lane-constant addend and needs no attr row.
+    gsil_col = _row_to_col(gscratch[ch:ch + 1, :])  # (PIX, 1)
+    t_final = 1.0 - _row_to_col(gscratch[ch + 1:ch + 2, :])  # (PIX, 1)
+    nc_col = _row_to_col(gscratch[ch + 2:ch + 3, :])
 
     # No gradient flows past the deepest contributor in this tile — only
     # walk the chunks that can contain applied gaussians. (The XLA side
     # masks the un-walked, unwritten grad rows.)
-    nc_max = jnp.max(gscratch[ch + 1:ch + 2, :]).astype(jnp.int32)
+    nc_max = jnp.max(gscratch[ch + 2:ch + 3, :]).astype(jnp.int32)
     n_chunks = pl.cdiv(nc_max, C)
 
     def chunk_dma(i):
@@ -360,11 +373,11 @@ def _bwd_kernel(grid_x: int, ch: int, pad_start_ref, lens_ref, attrs_hbm,
 
         om = jnp.where(applied, 1.0 - q["alpha"], 1.0)
         chan = a[6:6 + ch, :]  # (ch, C)
-        # u[p,c] = sum_ch chan[ch,c] gacc[ch,p]
+        # u[p,c] = sum_ch chan[ch,c] gacc[ch,p] + gsil[p] (constant-1 chan)
         u = jax.lax.dot_general(
             gacc, chan, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (PIX, C)
+        ) + gsil_col  # (PIX, C)
 
         # The reversed affine scan v_c = om_c v_{c+1} + alpha_c u_c unrolls
         # to v_c = s_rev_c * (v_end + sum_{j>=c} b_j / s_rev_j) with
@@ -479,13 +492,14 @@ def _bwd_kernel(grid_x: int, ch: int, pad_start_ref, lens_ref, attrs_hbm,
 @functools.partial(jax.jit, static_argnames=("grid_x", "num_tiles", "ch"))
 def composite_backward_pallas(attrs16, pad_start, lens, state, g_acc, grid_x,
                               num_tiles, ch):
-    """Per-pair gradients [16, P_pad] matching the attr layout.
+    """Per-pair gradients [ATTR_W, P_pad] matching the attr layout.
 
-    Real pair slots past a tile's deepest contributor are zero-filled (the
-    segment reducer consumes every real slot); pad slots stay undefined
-    (never gathered)."""
+    g_acc carries ch+1 cotangent rows (channels + silhouette); state rows
+    ch..ch+1 are (silhouette, n_contrib) from the forward. Real pair slots
+    past a tile's deepest contributor are zero-filled (the segment reducer
+    consumes every real slot); pad slots stay undefined (never gathered)."""
     kernel = functools.partial(_bwd_kernel, grid_x, ch)
-    packed = jnp.concatenate([g_acc, state[:, ch:, :]], axis=1)  # [T, ch+2, PIX]
+    packed = jnp.concatenate([g_acc, state[:, ch:, :]], axis=1)  # [T, ch+3, PIX]
     dattrs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -498,7 +512,7 @@ def composite_backward_pallas(attrs16, pad_start, lens, state, g_acc, grid_x,
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, ATTR_W, C), jnp.float32),
-                pltpu.VMEM((ch + 2, PIX), jnp.float32),
+                pltpu.VMEM((ch + 3, PIX), jnp.float32),
                 pltpu.VMEM((2, ATTR_W, C), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA(()),
@@ -584,8 +598,9 @@ def segment_reduce_scan_pallas(grads_grouped, gid_grouped):
 
 
 def _pack_attrs_rows(xy, conic, opacity, channels):
-    """[N, 16] row-major attrs (row gathers are far cheaper than axis-1
-    gathers on TPU; the [16, P_pad] kernel layout comes from one transpose)."""
+    """[N, ATTR_W] row-major attrs (row gathers are far cheaper than axis-1
+    gathers on TPU; the [ATTR_W, P_pad] kernel layout comes from one
+    transpose)."""
     ch = channels.shape[1]
     cols = [xy, conic, opacity[:, None], channels]
     pad = ATTR_W - 6 - ch
@@ -610,7 +625,8 @@ def _composite_core_fwd(xy, conic, opacity, channels, pad_data, grid_x, num_tile
     out = composite_forward_pallas(padded16, pad_start, lens, grid_x, num_tiles, ch)
     res = (padded16, pad_start, lens, dst, counts, in_stream, gid_sorted,
            dst_sorted, out, xy.shape[0])
-    return out[:, :ch, :], res
+    # Primal includes the silhouette row (ch+1 rows total).
+    return out[:, :ch + 1, :], res
 
 
 def _composite_core_bwd(grid_x, num_tiles, ch, res, g_acc):
@@ -668,7 +684,11 @@ _composite_core.defvjp(_composite_core_fwd, _composite_core_bwd)
 
 
 def composite(xy, conic, opacity, channels, ps, width, height):
-    """Drop-in for the tiles backend: returns ([C,H,W] image, overflow=0).
+    """Pallas compositor: returns ([C+1,H,W] image, overflow=0) — the LAST
+    image row is the silhouette (sum of composited weights, emitted as
+    1 - T_final rather than compositing a stored constant-1 channel; its
+    cotangent is exact, see _bwd_kernel). Callers not wanting it slice it
+    off (the dropped row's cotangent is then zero).
 
     `ps` is a render.api.PairStructure whose pallas layout fields are
     populated (api.pallas_layout)."""
