@@ -53,14 +53,18 @@ def run_variant(name: str, frames: int, h: int, w: int, rebin: int,
     # motion_scale 3 turns this into a whole-room stress scan with a
     # multi-million-gaussian map) + optional TUM-like depth noise.
     config["data"]["motion_scale"] = 2.0
-    # Outlier depth rejection during tracking, as the reference configures
-    # on its non-Replica datasets (/root/reference/configs/tum/splatam.py,
-    # scannet): masking pixels where the young map is still wrong removes
-    # the biased gradients that otherwise accumulate ~1.5 cm of drift over
-    # this trajectory (measured: 1.63 cm without, 0.91 cm with, on the
-    # HARDER noise variant).
-    config["tracking"]["ignore_outlier_depth_loss"] = True
+    # Tracking lr annealing (steps.tracking_phase lr_decay_frac): constant
+    # -lr Adam orbits the minimum at an lr-proportional radius — a
+    # per-frame pose accuracy floor that accumulates as drift. Measured on
+    # this variant: every pixel-REJECTION mechanism tried on clean depth
+    # (bare 10x-median, 5 cm-floored, depth-variance mask) made drift
+    # WORSE (1.63 -> 3.58 / 2.69 / 2.39 cm); annealing attacks the
+    # optimizer floor instead.
+    config["tracking"]["lr_decay_frac"] = 0.02
     if name == "noise":
+        # TUM-like sensor noise; the 10x-median threshold is ~20 cm here,
+        # well above the floor, so the variant runs the reference's exact
+        # rejection semantics.
         config["data"]["depth_noise_sigma"] = 0.01
     # The reference scales tracking iters with per-frame motion difficulty
     # (Replica 40 @ ~0.25deg/frame, ScanNet 100, ScanNet++ 200 — see

@@ -38,6 +38,8 @@ def _phase_cfg(section: dict) -> steps.PhaseConfig:
         ignore_outlier_depth_loss=section["ignore_outlier_depth_loss"],
         w_im=section["loss_weights"]["im"],
         w_depth=section["loss_weights"]["depth"],
+        depth_unc_thres=float(section.get("depth_uncertainty_thres", 0.0)),
+        outlier_floor=float(section.get("outlier_floor_m", 0.0)),
     )
 
 
@@ -378,7 +380,11 @@ class SLAMRuntime:
             self.pcfg_track,
             rcfg,
         )
-        t_kwargs = dict(mesh=self.mesh, rebin_every=self.rebin_every)
+        t_kwargs = dict(
+            mesh=self.mesh,
+            rebin_every=self.rebin_every,
+            lr_decay_frac=float(cfg_t.get("lr_decay_frac", 1.0)),
+        )
 
         cfg_m = self.config["mapping"]
         num_iters = int(cfg_m["num_iters"])
@@ -542,6 +548,7 @@ class SLAMRuntime:
                 rcfg,
                 mesh=self.mesh,
                 rebin_every=self.rebin_every,
+                lr_decay_frac=float(cfg_t.get("lr_decay_frac", 1.0)),
             )
             if int(ovf) == 0 or not self._bump_pair_margin(
                 n_active, int(ovf), rcfg.pair_cap, "tracking"
