@@ -68,9 +68,19 @@ def _next_pow2_int(n: int) -> int:
 
 
 def _w2c_from_qt(q: np.ndarray, t: np.ndarray) -> np.ndarray:
+    # Pure numpy (same wxyz convention as core.transforms.build_rotation):
+    # keyframe selection calls this once per keyframe per frame, and a jax
+    # round-trip here cost ~7 ms of dispatch each (~0.18 s/frame).
     w2c = np.eye(4, dtype=np.float32)
-    qn = q / np.linalg.norm(q)
-    w2c[:3, :3] = np.asarray(build_rotation(jnp.asarray(qn)[None]))[0]
+    w, x, y, z = (q / np.linalg.norm(q)).astype(np.float64)
+    w2c[:3, :3] = np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ],
+        dtype=np.float32,
+    )
     w2c[:3, 3] = t
     return w2c
 
@@ -175,6 +185,7 @@ class SLAMRuntime:
         # Async precompile of upcoming bucket/pair-ladder shapes (see
         # _maybe_precompile). Keyed by (bucket, pair_cap).
         self._precompiled: set = set()
+        self._inflight: dict = {}
         self._last_n_active = 0
         self._growth = 0
         self.pcfg_track = _phase_cfg(config["tracking"])
@@ -333,16 +344,33 @@ class SLAMRuntime:
         if os.environ.get("SPLATAM_NO_PRECOMPILE"):
             return
         n_active = int(self.gm.num_active())
+        first_call = self._last_n_active == 0
         growth = max(0, n_active - self._last_n_active)
         self._last_n_active = n_active
+        if first_call:
+            return  # bootstrap jump (0 -> initial map) is not growth
         self._growth = max(growth, int(self._growth * 0.7))  # decaying max
         if self._growth == 0:
             return
-        n_pred = min(n_active + 4 * self._growth, self.gm.capacity)
-        bucket_p = self._bucket(n_pred)
-        rcfg_p = self._phase_rcfg(bucket_p, n_pred)
+        # Target the NEXT ladder crossing exactly (a far-point prediction
+        # overshoots the pair ladder and compiles shapes that are never
+        # used). A full phase-set compile takes ~1-2 min of background wall
+        # time ≈ ~24 frames, so start once the crossing is within that
+        # horizon; the real call joins an in-flight compile rather than
+        # duplicating it if growth outruns the compile.
         bucket_now = self._bucket(n_active)
         rcfg_now = self._phase_rcfg(bucket_now, n_active)
+        n_next_pair = int(rcfg_now.pair_cap / self.pair_margin) + 1
+        n_cross = min(n_next_pair, bucket_now + 1)
+        if n_cross > min(n_active + 24 * self._growth, self.gm.capacity):
+            return
+        bucket_p = self._bucket(max(n_cross, n_active))
+        if bucket_p <= (1 << 16):
+            # Small-bucket compiles are seconds, not minutes — not worth
+            # the host CPU the background tracing/compiling steals from
+            # the frame loop (tiny CPU runs slowed ~20x when it ran).
+            return
+        rcfg_p = self._phase_rcfg(bucket_p, max(n_cross, n_active))
         key = (bucket_p, rcfg_p.pair_cap)
         if key == (bucket_now, rcfg_now.pair_cap) or key in self._precompiled:
             return
@@ -350,9 +378,24 @@ class SLAMRuntime:
         import threading
 
         packed = self._build_precompile_args(bucket_p, rcfg_p)
-        threading.Thread(
-            target=self._compile_phases, args=(packed, key), daemon=True
-        ).start()
+        th = threading.Thread(
+            target=self._compile_phases, args=(packed, key, self._inflight),
+            daemon=True,
+        )
+        self._inflight[key] = th
+        th.start()
+
+    def _join_inflight(self, pair_cap: int, bucket: int | None = None) -> None:
+        """If a background compile covering these shapes is still running,
+        wait for it (it writes the persistent cache the jit call then
+        hits) — finishing its remainder beats paying the whole compile
+        again in the foreground."""
+        for key, th in list(self._inflight.items()):
+            if key[1] != pair_cap or (bucket is not None and key[0] != bucket):
+                continue
+            if th.is_alive():
+                print(f"[splatam-tpu] waiting on in-flight precompile {key}")
+                th.join()
 
     def _build_precompile_args(self, bucket: int, rcfg: RenderConfig):
         """ShapeDtypeStruct arg trees for both phase programs at (bucket,
@@ -430,19 +473,89 @@ class SLAMRuntime:
             iter_struct_idx=sds((num_iters,), jnp.int32) if reuse else None,
             n_structs=sds((), jnp.int32) if reuse else None,
         )
-        return (t_args, t_kwargs), (m_args, m_kwargs)
+
+        # densify_step runs on the FULL capacity buffers, so it recompiles
+        # on pair-ladder steps too (measured 34 s inline at frame 7 of the
+        # bench without this).
+        cap = self.gm.capacity
+        gm_full_s = G.GaussianMap(*[
+            jax.ShapeDtypeStruct((cap,) + tuple(x.shape[1:]), x.dtype)
+            for x in self.gm
+        ])
+        dc = self.densify_cam
+        d_args = (
+            gm_full_s,
+            sds((cap,), f32),
+            sds((3, dc.height, dc.width), f32),
+            sds((dc.height, dc.width), f32),
+            sds((4,), f32),
+            sds((3,), f32),
+            sds((), jnp.int32),
+            dc,
+            float(self.config["mapping"]["sil_thres"]),
+            rcfg,
+        )
+        d_kwargs = dict(mesh=self.mesh)
+        return (t_args, t_kwargs), (m_args, m_kwargs), (d_args, d_kwargs)
 
     @staticmethod
-    def _compile_phases(packed, key) -> None:
+    def _compile_phases(packed, key, inflight) -> None:
+        import threading
+
+        def one(fn, args, kwargs):
+            try:
+                fn.lower(*args, **kwargs).compile()
+            except Exception as e:  # background best-effort; the real call
+                print(f"[splatam-tpu] async precompile {key} failed: {e!r}")
+
         try:
-            (t_args, t_kwargs), (m_args, m_kwargs) = packed
-            steps.tracking_phase.lower(*t_args, **t_kwargs).compile()
-            steps.mapping_phase.lower(*m_args, **m_kwargs).compile()
-        except Exception as e:  # background best-effort; the real call
-            print(f"[splatam-tpu] async precompile {key} failed: {e!r}")
+            (t_args, t_kwargs), (m_args, m_kwargs), (d_args, d_kwargs) = packed
+            # The three programs compile concurrently — the compile service
+            # overlaps requests, so the background window shrinks toward
+            # the longest single program instead of the sum.
+            ts = [
+                threading.Thread(target=one, args=(fn, a, k), daemon=True)
+                for fn, a, k in (
+                    (steps.tracking_phase, t_args, t_kwargs),
+                    (steps.densify_step, d_args, d_kwargs),
+                    (steps.mapping_phase, m_args, m_kwargs),
+                )
+            ]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+        finally:
+            inflight.pop(key, None)
 
     def compact(self):
-        """Re-pack active Gaussians into a dense prefix (once per frame)."""
+        """Re-pack active Gaussians into a dense prefix (once per frame).
+
+        Skipped when the prefix is already dense (densification appends to
+        the lowest free slots, so holes only exist after a mapping prune
+        actually removed something): the full repack is a capacity-sized
+        stable argsort + 14-column gather, ~0.2 s/frame at a 524k bucket.
+        """
+        if not hasattr(self, "_prefix_stats_fn"):
+
+            @jax.jit
+            def stats(active):
+                n = jnp.sum(active)
+                last = jnp.max(
+                    jnp.where(active, jnp.arange(active.shape[0]), -1)
+                )
+                return n, last
+
+            self._prefix_stats_fn = stats
+        n, last = (int(x) for x in self._prefix_stats_fn(self.gm.active))
+        holes = (last + 1) - n
+        # Inactive slots inside the prefix are masked (correct either way);
+        # they only cost compute once they push the active span into a
+        # bigger bucket, so tolerate up to ~1.5% slack before repacking.
+        # The span MUST stay inside the bucket sliced from the active
+        # count, or actives past the slice would silently drop.
+        if holes <= max(4096, n >> 6) and last + 1 <= self._bucket(n):
+            return
         self.gm, self.timestep = G.compact(self.gm, self.timestep)
 
     # -------------------------------------------------------------------
@@ -532,6 +645,7 @@ class SLAMRuntime:
         t0 = jnp.asarray(self.cam_trans[time_idx])
         for _attempt in range(4):
             rcfg = self._phase_rcfg(bucket, n_active)
+            self._join_inflight(rcfg.pair_cap, bucket)
             best_q, best_t, iters, _loss, ovf, hist = steps.tracking_phase(
                 gm_view,
                 q0,
@@ -566,6 +680,7 @@ class SLAMRuntime:
         while True:
             n_active = int(self.gm.num_active())
             rcfg = self._phase_rcfg(self.gm.capacity, n_active)
+            self._join_inflight(rcfg.pair_cap)
             gm2, ts2, n_added, n_dropped, ovf = steps.densify_step(
                 self.gm,
                 self.timestep,
@@ -708,6 +823,7 @@ class SLAMRuntime:
         bucket = self._bucket(n_active)
         gm_view, _ = G.slice_prefix(self.gm, self.timestep, bucket)
         rcfg = self._phase_rcfg(bucket, n_active)
+        self._join_inflight(rcfg.pair_cap, bucket)
         params_of = lambda g: (
             g.means3d, g.rgb_colors, g.unnorm_rotations,
             g.logit_opacities, g.log_scales,

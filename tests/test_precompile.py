@@ -22,12 +22,13 @@ def test_precompile_args_match_phase_signatures(tmp_path):
     packed = rt._build_precompile_args(next_bucket, rcfg)
     # Synchronous compile: raises on any signature/shape mismatch. The
     # production path runs this same call in a daemon thread.
-    rt._compile_phases(packed, (next_bucket, rcfg.pair_cap))
+    rt._compile_phases(packed, (next_bucket, rcfg.pair_cap), {})
 
     # The thread wrapper swallows exceptions by design — verify the direct
-    # lowering really produced executables for BOTH phases.
+    # lowering really produced executables for ALL THREE programs.
     from splatam_tpu.slam import steps
 
-    (t_args, t_kwargs), (m_args, m_kwargs) = packed
+    (t_args, t_kwargs), (m_args, m_kwargs), (d_args, d_kwargs) = packed
     assert steps.tracking_phase.lower(*t_args, **t_kwargs).compile() is not None
     assert steps.mapping_phase.lower(*m_args, **m_kwargs).compile() is not None
+    assert steps.densify_step.lower(*d_args, **d_kwargs).compile() is not None
