@@ -265,15 +265,17 @@ class SLAMRuntime:
     # -------------------------------------------------------------------
     def _bucket(self, n_active: int) -> int:
         # 4x granularity while the map is small (fewer distinct shapes ->
-        # fewer phase recompiles), 2x above 256k where the up-to-4x padded
-        # compute of a pow-4 bucket costs far more than one extra compile
-        # (a 4.2M bucket at 1.2M active gaussians would waste ~3x of every
-        # iteration).
+        # fewer phase recompiles), 1.5x above 256k: every bucket-
+        # proportional stage (projection, binning spreads, transforms,
+        # Adam) pays the bucket's padding, and at pow-2 rungs a map just
+        # past a boundary runs at ~50% occupancy (the bench's 300k-gaussian
+        # steady state sat at 57% of 524288). The extra compiles per rung
+        # are absorbed by the async precompiler.
         b = 4096
         while b < n_active and b < (1 << 18):
             b *= 4
         while b < n_active:
-            b *= 2
+            b = ((b * 3 // 2) + 4095) & ~4095  # 1.5x, 4096-aligned
         return min(b, self.gm.capacity)
 
     def _phase_rcfg(self, bucket: int, n_active: int | None = None) -> RenderConfig:
