@@ -1,0 +1,56 @@
+"""Host-side SLAMRuntime helpers: bucket ladder shape and the pure-numpy
+quaternion->w2c used by keyframe selection (which must stay in lock-step
+with core.transforms.build_rotation's wxyz convention)."""
+import numpy as np
+import jax.numpy as jnp
+
+from splatam_tpu.core.transforms import build_rotation
+from splatam_tpu.slam.pipeline import _w2c_from_qt
+
+
+class _BucketHost:
+    """Minimal stand-in exposing SLAMRuntime._bucket's closure deps."""
+
+    def __init__(self, capacity):
+        class GM:
+            pass
+
+        self.gm = GM()
+        self.gm.capacity = capacity
+
+    from splatam_tpu.slam.pipeline import SLAMRuntime
+
+    _bucket = SLAMRuntime._bucket
+
+
+def test_bucket_ladder_monotone_and_covering():
+    b = _BucketHost(1 << 22)
+    prev = 0
+    for n in range(1, 1 << 22, 37717):
+        cur = b._bucket(n)
+        assert cur >= n, (n, cur)  # bucket always covers the active set
+        assert cur >= prev or cur == b.gm.capacity
+        prev = cur
+    # pow-4 rungs below 256k, 1.5x (4096-aligned) above
+    assert b._bucket(4096) == 4096
+    assert b._bucket(4097) == 16384
+    assert b._bucket(262144) == 262144
+    nxt = b._bucket(262145)
+    assert 262144 * 1.5 <= nxt <= 262144 * 1.5 + 4096 and nxt % 4096 == 0
+    # capacity cap
+    small = _BucketHost(1 << 15)
+    assert small._bucket(1 << 15) == 1 << 15
+    assert small._bucket(30000) == 1 << 15
+
+
+def test_numpy_w2c_matches_build_rotation():
+    rng = np.random.default_rng(3)
+    for _ in range(32):
+        q = rng.normal(size=4).astype(np.float32)
+        t = rng.normal(size=3).astype(np.float32)
+        w2c = _w2c_from_qt(q, t)
+        qn = q / np.linalg.norm(q)
+        R_ref = np.asarray(build_rotation(jnp.asarray(qn)[None]))[0]
+        np.testing.assert_allclose(w2c[:3, :3], R_ref, atol=1e-6)
+        np.testing.assert_allclose(w2c[:3, 3], t, atol=0)
+        assert w2c[3, 3] == 1.0
