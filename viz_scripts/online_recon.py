@@ -31,12 +31,19 @@ except ImportError:
 
 def map_at_timestep(params, t):
     """Sub-map of Gaussians created at or before frame t
-    (online_recon.py:72-103)."""
+    (online_recon.py:72-103), padded to a pow-2 bucket with zero-opacity
+    rows — exact per-timestep shapes would recompile the renderer on every
+    replay step (a 120-frame replay became a 120-compile storm)."""
     keep = np.asarray(params["timestep"]) <= t
-    sub = {
-        k: np.asarray(params[k])[keep]
-        for k in ["means3D", "rgb_colors", "unnorm_rotations", "logit_opacities", "log_scales"]
-    }
+    n = int(keep.sum())
+    bucket = 1 << max(10, (n - 1).bit_length())
+    sub = {}
+    for k in ["means3D", "rgb_colors", "unnorm_rotations", "logit_opacities", "log_scales"]:
+        a = np.asarray(params[k])[keep]
+        pad = np.zeros((bucket - n,) + a.shape[1:], a.dtype)
+        sub[k] = np.concatenate([a, pad], axis=0)
+    # Padding rows render as nothing: sigmoid(-1e4) == 0 opacity.
+    sub["logit_opacities"][n:] = -1e4
     return from_params_dict(sub)
 
 
