@@ -29,22 +29,21 @@ except ImportError:
     HAVE_O3D = False
 
 
-def map_at_timestep(params, t):
-    """Sub-map of Gaussians created at or before frame t
-    (online_recon.py:72-103), padded to a pow-2 bucket with zero-opacity
-    rows — exact per-timestep shapes would recompile the renderer on every
-    replay step (a 120-frame replay became a 120-compile storm)."""
-    keep = np.asarray(params["timestep"]) <= t
-    n = int(keep.sum())
-    bucket = 1 << max(10, (n - 1).bit_length())
-    sub = {}
-    for k in ["means3D", "rgb_colors", "unnorm_rotations", "logit_opacities", "log_scales"]:
-        a = np.asarray(params[k])[keep]
-        pad = np.zeros((bucket - n,) + a.shape[1:], a.dtype)
-        sub[k] = np.concatenate([a, pad], axis=0)
-    # Padding rows render as nothing: sigmoid(-1e4) == 0 opacity.
-    sub["logit_opacities"][n:] = -1e4
-    return from_params_dict(sub)
+def device_map_and_timesteps(params):
+    """Upload the FULL final map once and return (gm, timestep_dev).
+
+    Replay then masks by creation time on-device (gm.active) instead of
+    re-uploading a per-timestep sub-map: one upload + one compile for the
+    whole replay, where per-step host gathers + uploads both recompiled
+    every step AND pushed the map through the (slow) host link each frame."""
+    import jax.numpy as jnp
+
+    gm = from_params_dict(params)
+    ts = np.zeros((gm.capacity,), np.float32)
+    n = np.asarray(params["timestep"]).shape[0]
+    ts[:n] = np.asarray(params["timestep"], np.float32)
+    ts[n:] = np.inf  # pad slots never activate
+    return gm, jnp.asarray(ts)
 
 
 def replay(scene_path, viz_cfg, rcfg, out_dir=None):
@@ -60,9 +59,10 @@ def replay(scene_path, viz_cfg, rcfg, out_dir=None):
     view_w2c = w2c0.copy()
     view_w2c[:3, 3] += view_w2c[:3, :3].T @ np.array([0, 0, -0.5])
 
+    gm_full, ts_dev = device_map_and_timesteps(params)
     stride = max(1, num_t // 200) if out_dir else 1
     for t in range(0, num_t, stride):
-        gm_t = map_at_timestep(params, t)
+        gm_t = gm_full._replace(active=gm_full.active & (ts_dev <= t))
         im, depth, sil = render_view(gm_t, all_w2cs[t], k, viz_cfg, rcfg)
         if out_dir:
             imageio.imwrite(
