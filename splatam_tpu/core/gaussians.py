@@ -104,7 +104,8 @@ def compact(gm: GaussianMap, timestep: jax.Array):
     """Gather active rows to the front (stable order preserved).
 
     Keeps the active set a dense prefix so the per-frame phase programs can
-    run on a power-of-2 bucketed slice of the buffers instead of full
+    run on a bucketed slice of the buffers (x4 rungs small, x1.5 large;
+    pipeline._bucket) instead of full
     capacity — the main cost lever as the map grows. Densification fills
     the lowest free slots first, so the prefix property survives until the
     next pruning pass.
