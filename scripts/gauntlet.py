@@ -116,7 +116,10 @@ def main():
             "psnr": round(m["psnr"], 3),
             "depth_l1_cm": round(m["depth_l1"] * 100, 4),
             "ms_ssim": round(m["ms_ssim"], 4),
-            "lpips": round(m["lpips"], 4),
+            # canonical `lpips` only when pretrained calibration was used;
+            # synthetic values land under `lpips_synthetic` (self-describing)
+            **{k: round(m[k], 4) for k in ("lpips", "lpips_synthetic") if k in m},
+            "lpips_calibration": m.get("lpips_calibration", "unavailable"),
             "wall_s": m["wall_s"],
             "runtime": m.get("runtime", {}),
             "thresholds": THRESHOLDS[name],

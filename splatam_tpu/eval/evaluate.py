@@ -23,6 +23,29 @@ from splatam_tpu.render.api import RenderConfig, render_rgbd_sil
 from splatam_tpu.slam.steps import transform_to_frame
 
 
+def _lpips_metrics(lpips, value) -> dict:
+    """Self-describing LPIPS entries for a metrics dict.
+
+    The reference always evaluates a trained AlexNet LPIPS
+    (utils/eval_helpers.py:484-489); this environment may fall back to the
+    deterministic synthesized calibration (eval/lpips_jax.py), whose values
+    are NOT comparable to the paper's. To keep saved artifacts
+    self-describing, the canonical key `lpips` is reserved for pretrained
+    calibration only; synthetic values land under `lpips_synthetic`, and
+    `lpips_calibration` records which one was used.
+    """
+    v = float(value)
+    if lpips is None or np.isnan(v):
+        return {"lpips_calibration": "unavailable"}
+    if getattr(lpips, "synthetic", False):
+        return {"lpips_synthetic": v, "lpips_calibration": "synthetic"}
+    return {"lpips": v, "lpips_calibration": "pretrained"}
+
+
+def _lpips_txt_name(lpips) -> str:
+    return "lpips_synthetic" if getattr(lpips, "synthetic", False) else "lpips"
+
+
 def render_at_pose(gm: GaussianMap, q, t, cam: Camera, rcfg: RenderConfig):
     means_cam, rots_cam = transform_to_frame(gm, jnp.asarray(q), jnp.asarray(t), False, False)
     return render_rgbd_sil(
@@ -295,16 +318,16 @@ def eval_nvs(
         "depth_rmse": float(np.array(rmse_list)[valid_nvs].mean()),
         "depth_l1": float(np.array(l1_list)[valid_nvs].mean()),
         "ms_ssim": float(np.array(ssim_list)[valid_nvs].mean()),
-        "lpips": float(np.array(lpips_list)[valid_nvs].mean()),
         "num_valid_frames": int(valid_nvs.sum()),
     }
+    metrics.update(_lpips_metrics(lpips, np.array(lpips_list)[valid_nvs].mean()))
     print("Average PSNR: {:.2f}".format(metrics["psnr"]))
     print("Average Depth RMSE: {:.2f} cm".format(metrics["depth_rmse"] * 100))
     print("Average Depth L1: {:.2f} cm".format(metrics["depth_l1"] * 100))
     print("Average MS-SSIM: {:.3f}".format(metrics["ms_ssim"]))
     for name, vals in [
         ("psnr", psnr_list), ("rmse", rmse_list), ("l1", l1_list),
-        ("ssim", ssim_list), ("lpips", lpips_list),
+        ("ssim", ssim_list), (_lpips_txt_name(lpips), lpips_list),
     ]:
         np.savetxt(os.path.join(eval_dir, f"{name}.txt"), np.array(vals))
     np.save(os.path.join(eval_dir, "valid_nvs_frames.npy"), valid_nvs)
@@ -410,27 +433,28 @@ def eval_sequence(
         "depth_rmse": float(np.mean(rmse_list)),
         "depth_l1": float(np.mean(l1_list)),
         "ms_ssim": float(np.mean(ssim_list)),
-        "lpips": float(np.mean(lpips_list)),
         "ate_rmse": float(ate_rmse),
     }
+    metrics.update(_lpips_metrics(lpips, np.mean(lpips_list)))
     print("Average PSNR: {:.2f}".format(metrics["psnr"]))
     print("Average Depth RMSE: {:.2f} cm".format(metrics["depth_rmse"] * 100))
     print("Average Depth L1: {:.2f} cm".format(metrics["depth_l1"] * 100))
     print("Average MS-SSIM: {:.3f}".format(metrics["ms_ssim"]))
-    if np.isnan(metrics["lpips"]):
+    if metrics["lpips_calibration"] == "unavailable":
         print("Average LPIPS: unavailable (no AlexNet weights found)")
-    elif getattr(lpips, "synthetic", False):
+    elif metrics["lpips_calibration"] == "synthetic":
         print(
-            "Average LPIPS: {:.3f} (synthesized AlexNet calibration — drop a"
-            " pretrained lpips_alex.npz in ~/.cache/splatam_tpu/ for"
-            " canonical values)".format(metrics["lpips"])
+            "Average LPIPS (synthetic calibration): {:.3f} — NOT comparable"
+            " to paper values; drop a pretrained lpips_alex.npz in"
+            " ~/.cache/splatam_tpu/ for canonical ones".format(
+                metrics["lpips_synthetic"])
         )
     else:
         print("Average LPIPS: {:.3f}".format(metrics["lpips"]))
 
     for name, vals in [
         ("psnr", psnr_list), ("rmse", rmse_list), ("l1", l1_list),
-        ("ssim", ssim_list), ("lpips", lpips_list),
+        ("ssim", ssim_list), (_lpips_txt_name(lpips), lpips_list),
     ]:
         np.savetxt(os.path.join(eval_dir, f"{name}.txt"), np.array(vals))
 

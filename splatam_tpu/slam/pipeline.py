@@ -381,7 +381,8 @@ class SLAMRuntime:
 
         packed = self._build_precompile_args(bucket_p, rcfg_p)
         th = threading.Thread(
-            target=self._compile_phases, args=(packed, key, self._inflight),
+            target=self._compile_phases,
+            args=(packed, key, self._inflight, self._precompiled),
             daemon=True,
         )
         self._inflight[key] = th
@@ -501,14 +502,17 @@ class SLAMRuntime:
         return (t_args, t_kwargs), (m_args, m_kwargs), (d_args, d_kwargs)
 
     @staticmethod
-    def _compile_phases(packed, key, inflight) -> None:
+    def _compile_phases(packed, key, inflight, precompiled=None) -> None:
         import threading
+
+        failed = []
 
         def one(fn, args, kwargs):
             try:
                 fn.lower(*args, **kwargs).compile()
             except Exception as e:  # background best-effort; the real call
                 print(f"[splatam-tpu] async precompile {key} failed: {e!r}")
+                failed.append(e)
 
         try:
             (t_args, t_kwargs), (m_args, m_kwargs), (d_args, d_kwargs) = packed
@@ -529,6 +533,11 @@ class SLAMRuntime:
                 t.join()
         finally:
             inflight.pop(key, None)
+            # A failed precompile must not poison the key: discard it so a
+            # later _maybe_precompile can retry instead of silently paying
+            # the full foreground compile at the crossing.
+            if failed and precompiled is not None:
+                precompiled.discard(key)
 
     def compact(self):
         """Re-pack active Gaussians into a dense prefix (once per frame).

@@ -310,9 +310,13 @@ def tracking_phase(
             jnp.stack([loss, aux.weighted_depth_loss, aux.weighted_im_loss])
         )
         if lr_decay_frac < 1.0:
+            # Clamp the exponent at the last scheduled iteration so the
+            # depth_loss_thres extension window (iters num_iters..2*num_iters)
+            # holds lr*frac instead of decaying on toward frac^2.
             decay = jnp.power(
                 jnp.float32(lr_decay_frac),
-                it.astype(jnp.float32) / max(num_iters - 1, 1),
+                jnp.minimum(it, num_iters - 1).astype(jnp.float32)
+                / max(num_iters - 1, 1),
             )
             iter_lrs = tuple(lr * decay for lr in lrs)
         else:

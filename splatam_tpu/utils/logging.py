@@ -42,12 +42,17 @@ class MetricsLogger:
                 name=wcfg.get("name"),
                 config=config,
             )
-        except ImportError:
+        except Exception as exc:  # ImportError, or wandb.init failing
+            # (no network/auth in a zero-egress environment) — either way
+            # fall through to the JSONL logger instead of aborting the run.
+            if not isinstance(exc, ImportError):
+                print(f"[splatam-tpu] wandb.init failed ({exc!r}); "
+                      "falling back to JSONL logging")
             if output_dir is not None:
                 os.makedirs(output_dir, exist_ok=True)
                 path = os.path.join(output_dir, "wandb_fallback.jsonl")
                 self._file = open(path, "a", buffering=1)
-                print(f"[splatam-tpu] wandb not installed; logging metrics to {path}")
+                print(f"[splatam-tpu] logging metrics to {path}")
             else:
                 self.enabled = False
 
