@@ -261,6 +261,35 @@ class SLAMRuntime:
             "mapping_frame_time_sum": 0.0,
             "mapping_frame_time_count": 0,
         }
+        self._precompile_initial_bucket()
+
+    def _precompile_initial_bucket(self) -> None:
+        """AOT-compile the first bucket's three phase programs in background
+        threads right at init. Cold runs used to pay the tracking/mapping/
+        densify compiles serially inside frames 0-1 (396 s of frame-0 dead
+        time in BENCH_r02); compiling the three concurrently while frame 0's
+        init/densify work proceeds cuts the cold start toward the longest
+        single program, and the phase entry points join the in-flight
+        compile via _join_inflight instead of re-paying it."""
+        n_active = int(self.gm.num_active())
+        bucket0 = self._bucket(n_active)
+        if bucket0 <= (1 << 16):
+            return  # small-bucket compiles are seconds (see _maybe_precompile)
+        rcfg0 = self._phase_rcfg(bucket0, n_active)
+        key = (bucket0, rcfg0.pair_cap)
+        if key in self._precompiled:
+            return
+        self._precompiled.add(key)
+        import threading
+
+        packed = self._build_precompile_args(bucket0, rcfg0)
+        th = threading.Thread(
+            target=self._compile_phases,
+            args=(packed, key, self._inflight, self._precompiled),
+            daemon=True,
+        )
+        self._inflight[key] = th
+        th.start()
 
     # -------------------------------------------------------------------
     def _bucket(self, n_active: int) -> int:
