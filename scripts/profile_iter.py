@@ -164,6 +164,23 @@ def run_stages(args, gm, cam, rcfg, q, t, color, depth_gt):
         lambda g: CP.segment_reduce_scan_pallas(g, ps.gid_sorted),
         grads_grouped,
     )
+    scanned0 = jax.jit(
+        lambda g: CP.segment_reduce_scan_pallas(g, ps.gid_sorted)
+    )(grads_grouped)
+    counts = ps.bins.counts
+    pair_cap = ps.dst.shape[0]
+    offsets = jnp.cumsum(counts) - counts
+    end_slot = jnp.clip(jnp.minimum(offsets + counts, pair_cap) - 1, 0,
+                        pair_cap - 1)
+
+    def extract_fn(s):
+        return jnp.where(
+            ps.bins.in_stream[:, None],
+            s.T.at[end_slot].get(mode="fill", fill_value=0.0),
+            0.0,
+        )
+
+    timed_loop("end-slot totals extract", extract_fn, scanned0)
 
     pcfg = steps.PhaseConfig(
         use_sil_for_loss=True, sil_thres=0.99, use_l1=True,
@@ -180,6 +197,23 @@ def run_stages(args, gm, cam, rcfg, q, t, color, depth_gt):
         return jax.grad(f)((q, t))
 
     timed_loop("tracking get_loss fwd+bwd (reused ps)", track_grad,
+               gm.means3d, K=10)
+
+    ps_w = jax.jit(
+        lambda: steps.loss_pair_structure(gm, q, t, cam, rcfg,
+                                          with_world16=True)
+    )()
+
+    def track_grad_pairspace(x):
+        def f(qt):
+            loss, _ = steps.get_loss(
+                gm, qt[0], qt[1] + x[0, 0] * 1e-30, color, depth_gt, cam,
+                pcfg, rcfg, True, False, pair_structure=ps_w,
+            )
+            return loss
+        return jax.grad(f)((q, t))
+
+    timed_loop("tracking get_loss fwd+bwd (pair-space)", track_grad_pairspace,
                gm.means3d, K=10)
 
     mcfg = steps.PhaseConfig(

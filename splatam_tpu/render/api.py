@@ -71,6 +71,11 @@ class PairStructure(NamedTuple):
     dst: jax.Array | None
     gid_sorted: jax.Array | None
     dst_sorted: jax.Array | None
+    # Pair-space tracking only: WORLD-frame attr rows gathered into the
+    # padded layout ([16, P_pad], render.pairspace.pack_world_rows). The
+    # per-iteration render then projects per PAIR with no gathers and no
+    # pairs->gaussian gradient reduction (gradients stop at the pose).
+    world16: jax.Array | None = None
 
 
 def _prep_gaussians(unnorm_rotations, logit_opacities, log_scales):
@@ -285,6 +290,37 @@ def render_gaussians(
         else:
             img = img[:nu]  # drop the appended silhouette row
     return img, aux.radius, overflow, n_pairs
+
+
+def render_rgbd_sil_pairspace(
+    cam: Camera,
+    ps: PairStructure,
+    q: jax.Array,
+    t: jax.Array,
+    n_gauss: int,
+) -> RenderOutput:
+    """Pair-space tracking render (pallas backend only): per-pair EWA
+    projection of ps.world16 at pose (q, t), gradients pairs -> pose.
+
+    Semantics match render_rgbd_sil under a reused pair_structure
+    (stale rects, fresh per-pair alpha); see render.pairspace."""
+    from splatam_tpu.render import pairspace
+    from splatam_tpu.render.pallas import composite_pallas
+
+    padded16 = pairspace.project_pairs(
+        ps.world16, q, t, cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height
+    )
+    img = composite_pallas.composite_pairs(padded16, ps, cam.width, cam.height)
+    # pallas rows [r, g, b, z, z^2, sil] -> public [r, g, b, z, sil, z^2].
+    return RenderOutput(
+        im=img[:3],
+        depth=img[3],
+        silhouette=img[5],
+        depth_sq=img[4],
+        radii=jnp.zeros((n_gauss,), jnp.int32),  # unused by tracking
+        overflow=ps.bins.overflow,
+        n_pairs=ps.bins.n_pairs,
+    )
 
 
 def render_rgbd_sil(

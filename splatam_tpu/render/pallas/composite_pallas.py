@@ -530,16 +530,24 @@ def composite_backward_pallas(attrs16, pad_start, lens, state, g_acc, grid_x,
 # ---------------------------------------------------------------------------
 
 
-def _reduce_kernel(g_last_ref, grads_ref, gid_ref, out_ref, carry):
+def _reduce_kernel(width: int, g_last_ref, grads_ref, gid_ref, out_ref, carry):
     """Segmented inclusive prefix-sum along the pair stream.
 
-    grads block (ATTR_W, C), gid block (1, C) non-decreasing segment ids.
-    After the scan, the LAST slot of every segment holds that segment's
-    total; the caller gathers totals at end_slot[g] = offset[g]+count[g]-1.
-    Other slots hold partial prefixes (never read). A VMEM carry threads
-    segments across the sequential grid; g_last_ref[c] is the id at the
-    previous chunk's last lane.
-    """
+    grads block (ATTR_W, width), gid block (1, width) non-decreasing
+    segment ids; width is a multiple of C. After the scan, the LAST slot
+    of every segment holds that segment's total; the caller gathers totals
+    at end_slot[g] = offset[g]+count[g]-1. Other slots hold partial
+    prefixes (never read). A VMEM carry threads segments across the
+    sequential grid; g_last_ref[c] is the id at the previous block's last
+    lane.
+
+    The block is WIDE (default 8 chunks = 1024 lanes): the per-grid-step
+    fixed cost (~1 us of carry/DMA bookkeeping) dominated the original
+    one-chunk-per-step version — 3.7k steps cost ~4 ms for what is ~60 MB
+    of streaming traffic. The doubling scans of all sub-chunks run as ONE
+    (ATTR_W, width) vector op chain with rolls masked at 128-lane group
+    boundaries, then the U-1 inter-chunk boundary folds are cheap
+    lane-broadcast adds."""
     c = pl.program_id(0)
     prev_g = g_last_ref[c]
 
@@ -547,20 +555,34 @@ def _reduce_kernel(g_last_ref, grads_ref, gid_ref, out_ref, carry):
     def _():
         carry[...] = jnp.zeros((ATTR_W, 1), jnp.float32)
 
-    x = grads_ref[...]  # (ATTR_W, C)
-    gl = gid_ref[...]  # (1, C)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    x = grads_ref[...]  # (ATTR_W, width)
+    gl = gid_ref[...]  # (1, width)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+    lane_mod = jax.lax.rem(lane, C)
 
+    # Independent doubling scans per 128-lane sub-chunk, vectorized across
+    # the whole block (cross-boundary roll contamination is masked out).
     shift = 1
     while shift < C:
-        same = (gl == pltpu.roll(gl, shift, 1)) & (lane >= shift)
+        same = (gl == pltpu.roll(gl, shift, 1)) & (lane_mod >= shift)
         x = x + jnp.where(same, pltpu.roll(x, shift, 1), 0.0)
         shift *= 2
 
-    # Fold in the carry of the segment left open by the previous chunk
+    # Sequential boundary folds: sub-chunk u inherits the open segment's
+    # running total from lane u*C-1 (already folded for u-1). Masked
+    # full-width adds (Mosaic has no dynamic_update_slice); the boundary
+    # lane read at step u was updated by step u-1, preserving the chain.
+    for u in range(1, width // C):
+        b = u * C
+        xb = x[:, b - 1 : b]  # (ATTR_W, 1) running total at the boundary
+        gb = gl[:, b - 1 : b]  # (1, 1) boundary segment id
+        mask = ((gl == gb) & (lane >= b) & (lane < b + C)).astype(jnp.float32)
+        x = x + xb * mask
+
+    # Fold in the carry of the segment left open by the previous block
     # (its lanes are exactly the prefix with gid == prev_g).
     x = x + carry[...] * (gl == prev_g).astype(jnp.float32)
-    carry[...] = x[:, C - 1 : C]
+    carry[...] = x[:, width - 1 : width]
     out_ref[...] = x
 
 
@@ -572,20 +594,26 @@ def segment_reduce_scan_pallas(grads_grouped, gid_grouped):
     int32 non-decreasing segment ids."""
     p = grads_grouped.shape[1]
     assert p % C == 0
-    n_chunks = p // C
+    width = C
+    for u in (8, 4, 2):
+        if p % (u * C) == 0:
+            width = u * C
+            break
+    n_blocks = p // width
     g_last = jnp.concatenate(
-        [jnp.full((1,), -1, jnp.int32), gid_grouped[C - 1 :: C][: n_chunks - 1]]
+        [jnp.full((1,), -1, jnp.int32),
+         gid_grouped[width - 1 :: width][: n_blocks - 1]]
     )
     return pl.pallas_call(
-        _reduce_kernel,
+        functools.partial(_reduce_kernel, width),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(n_chunks,),
+            grid=(n_blocks,),
             in_specs=[
-                pl.BlockSpec((ATTR_W, C), lambda c, *_: (0, c)),
-                pl.BlockSpec((1, C), lambda c, *_: (0, c)),
+                pl.BlockSpec((ATTR_W, width), lambda c, *_: (0, c)),
+                pl.BlockSpec((1, width), lambda c, *_: (0, c)),
             ],
-            out_specs=pl.BlockSpec((ATTR_W, C), lambda c, *_: (0, c)),
+            out_specs=pl.BlockSpec((ATTR_W, width), lambda c, *_: (0, c)),
             scratch_shapes=[pltpu.VMEM((ATTR_W, 1), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((ATTR_W, p), jnp.float32),
@@ -681,6 +709,57 @@ def _composite_core_bwd(grid_x, num_tiles, ch, res, g_acc):
 
 
 _composite_core.defvjp(_composite_core_fwd, _composite_core_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _composite_pairs_core(padded16, pad_start, lens, grid_x, num_tiles, ch):
+    out, _ = _composite_pairs_fwd(padded16, pad_start, lens, grid_x, num_tiles, ch)
+    return out
+
+
+def _composite_pairs_fwd(padded16, pad_start, lens, grid_x, num_tiles, ch):
+    out = composite_forward_pallas(padded16, pad_start, lens, grid_x, num_tiles, ch)
+    res = (padded16, pad_start, lens, out)
+    return out[:, :ch + 1, :], res
+
+
+def _composite_pairs_bwd(grid_x, num_tiles, ch, res, g_acc):
+    """Stops at PER-PAIR gradients [16, P_pad]: the pair-space tracking path
+    (render.pairspace) contracts them into the pose through jax.vjp of
+    project_pairs — no pairs->gaussian reduction. Slots past the last
+    tile's padded segment are never walked by any grid step and hold
+    uninitialized memory; mask them so the projection VJP's pose
+    contraction (a sum over ALL slots) sees exact zeros."""
+    padded16, pad_start, lens, state = res
+    dattrs = composite_backward_pallas(
+        padded16, pad_start, lens, state, g_acc, grid_x, num_tiles, ch
+    )
+    slot = jax.lax.broadcasted_iota(jnp.int32, dattrs.shape, 1)
+    dattrs = jnp.where(slot < pad_start[num_tiles], dattrs, 0.0)
+    return (
+        dattrs,
+        np.zeros(pad_start.shape, jax.dtypes.float0),
+        np.zeros(lens.shape, jax.dtypes.float0),
+    )
+
+
+_composite_pairs_core.defvjp(_composite_pairs_fwd, _composite_pairs_bwd)
+
+
+def composite_pairs(padded16, ps, width, height):
+    """Composite directly from per-pair kernel attrs [ATTR_W, P_pad]
+    (render.pairspace.project_pairs output). Returns [ch+1, H, W] with the
+    silhouette as the last row; gradients flow to padded16 per pair."""
+    from splatam_tpu.render.binning import grid_shape
+    from splatam_tpu.render.composite_jax import assemble_image
+
+    grid_x, grid_y = grid_shape(width, height)
+    num_tiles = grid_x * grid_y
+    ch = 5  # r, g, b, z, z^2 (fixed pair-space channel layout)
+    acc = _composite_pairs_core(
+        padded16, ps.pad_start, ps.lens, grid_x, num_tiles, ch
+    )
+    return assemble_image(acc, width, height)
 
 
 def composite(xy, conic, opacity, channels, ps, width, height):

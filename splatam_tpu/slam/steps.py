@@ -126,40 +126,59 @@ def get_loss(
     so every loss term below (masks, median, SSIM) is bit-identical to the
     single-chip path. `pair_structure` reuses a precomputed binning
     (render.api.PairStructure; single-chip path only)."""
-    if tracking:
-        means_cam, rots_cam = transform_to_frame(gm, q, t, False, True)
-    elif mapping and do_ba:
-        means_cam, rots_cam = transform_to_frame(gm, q, t, True, True)
-    elif mapping:
-        means_cam, rots_cam = transform_to_frame(gm, q, t, True, False)
-    else:
-        means_cam, rots_cam = transform_to_frame(gm, q, t, True, False)
+    pairspace_path = (
+        tracking
+        and not do_ba
+        and mesh is None
+        and pair_structure is not None
+        and pair_structure.world16 is not None
+    )
+    if pairspace_path:
+        # Pair-space fast path (pallas backend): the gaussian params are
+        # frozen (stop_gradient side of transform_to_frame), so the render
+        # projects rebin-time world rows per PAIR and backprops pairs ->
+        # pose, skipping the attr gather and the whole pairs->gaussian
+        # gradient reduction. Loss semantics below are shared.
+        from splatam_tpu.render.api import render_rgbd_sil_pairspace
 
-    params_grad = mapping or not tracking
-    logit_op = gm.logit_opacities if params_grad else sg(gm.logit_opacities)
-    log_scales = gm.log_scales if params_grad else sg(gm.log_scales)
-    colors = gm.rgb_colors if params_grad else sg(gm.rgb_colors)
-
-    if mesh is not None:
-        from splatam_tpu.parallel.spatial import render_rgbd_sil_sharded
-
-        out = render_rgbd_sil_sharded(
-            mesh, cam, means_cam, colors, rots_cam, logit_op, log_scales,
-            gm.active, rcfg, means2d_dummy=means2d_dummy,
+        out = render_rgbd_sil_pairspace(
+            cam, pair_structure, q, t, gm.means3d.shape[0]
         )
     else:
-        out = render_rgbd_sil(
-            cam,
-            means_cam,
-            colors,
-            rots_cam,
-            logit_op,
-            log_scales,
-            gm.active,
-            config=rcfg,
-            means2d_dummy=means2d_dummy,
-            pair_structure=pair_structure,
-        )
+        if tracking:
+            means_cam, rots_cam = transform_to_frame(gm, q, t, False, True)
+        elif mapping and do_ba:
+            means_cam, rots_cam = transform_to_frame(gm, q, t, True, True)
+        elif mapping:
+            means_cam, rots_cam = transform_to_frame(gm, q, t, True, False)
+        else:
+            means_cam, rots_cam = transform_to_frame(gm, q, t, True, False)
+
+        params_grad = mapping or not tracking
+        logit_op = gm.logit_opacities if params_grad else sg(gm.logit_opacities)
+        log_scales = gm.log_scales if params_grad else sg(gm.log_scales)
+        colors = gm.rgb_colors if params_grad else sg(gm.rgb_colors)
+
+        if mesh is not None:
+            from splatam_tpu.parallel.spatial import render_rgbd_sil_sharded
+
+            out = render_rgbd_sil_sharded(
+                mesh, cam, means_cam, colors, rots_cam, logit_op, log_scales,
+                gm.active, rcfg, means2d_dummy=means2d_dummy,
+            )
+        else:
+            out = render_rgbd_sil(
+                cam,
+                means_cam,
+                colors,
+                rots_cam,
+                logit_op,
+                log_scales,
+                gm.active,
+                config=rcfg,
+                means2d_dummy=means2d_dummy,
+                pair_structure=pair_structure,
+            )
 
     depth = out.depth
     silhouette = out.silhouette
@@ -224,16 +243,30 @@ def get_loss(
 # ---------------------------------------------------------------------------
 
 
-def loss_pair_structure(gm: GaussianMap, q, t, cam: Camera, rcfg: RenderConfig):
+def loss_pair_structure(gm: GaussianMap, q, t, cam: Camera, rcfg: RenderConfig,
+                        with_world16: bool = False):
     """The reusable binning structure for a get_loss render at this pose and
-    parameter snapshot (render.api.PairStructure)."""
+    parameter snapshot (render.api.PairStructure).
+
+    with_world16 additionally gathers the WORLD-frame attr rows into the
+    padded pair layout for the pair-space tracking path (render.pairspace) —
+    only the tracking rebin sites pay for it."""
     from splatam_tpu.render.api import compute_pair_structure
 
     means_cam, rots_cam = transform_to_frame(gm, sg(q), sg(t), False, False)
-    return compute_pair_structure(
+    ps = compute_pair_structure(
         cam, means_cam, rots_cam, gm.logit_opacities, gm.log_scales,
         gm.active, rcfg,
     )
+    if with_world16 and ps.pad_gauss is not None:
+        from splatam_tpu.render import pairspace
+
+        rows = sg(pairspace.pack_world_rows(
+            gm.means3d, gm.unnorm_rotations, gm.logit_opacities,
+            gm.log_scales, gm.rgb_colors, gm.active,
+        ))
+        ps = ps._replace(world16=rows[ps.pad_gauss].T)
+    return ps
 
 
 @partial(
@@ -300,7 +333,8 @@ def tracking_phase(
         if use_rebin:
             ps = jax.lax.cond(
                 (it > 0) & (it % rebin_every == 0),
-                lambda qt, ps: loss_pair_structure(gm, qt[0], qt[1], cam, rcfg),
+                lambda qt, ps: loss_pair_structure(gm, qt[0], qt[1], cam, rcfg,
+                                                   with_world16=True),
                 lambda qt, ps: ps,
                 qt, ps,
             )
@@ -336,7 +370,8 @@ def tracking_phase(
         return (it + 1, limit, qt, st, best_q, best_t, min_loss, ovf, hist, ps)
 
     st0 = optim.adam_init((q0, t0))
-    ps0 = loss_pair_structure(gm, q0, t0, cam, rcfg) if use_rebin else None
+    ps0 = (loss_pair_structure(gm, q0, t0, cam, rcfg, with_world16=True)
+           if use_rebin else None)
     carry0 = (
         jnp.int32(0),
         jnp.int32(num_iters),

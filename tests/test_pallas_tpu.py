@@ -74,3 +74,47 @@ def test_pallas_backward_matches_tiles():
         x, y = np.asarray(x), np.asarray(y)
         scale = np.abs(x).max() + 1e-8
         np.testing.assert_allclose(y, x, atol=5e-5 * scale, err_msg=name)
+
+
+def test_pairspace_tracking_matches_standard_path():
+    """Tracking get_loss via the pair-space fast path (world16 +
+    composite_pairs, grads pairs->pose) matches the standard reuse path
+    (per-gaussian projection + gather + pairs->gaussian reduction) in loss
+    value and pose gradients."""
+    from splatam_tpu.slam.steps import (
+        PhaseConfig, get_loss, loss_pair_structure,
+    )
+    from tests.test_pairspace import _GM, _cam, _pose, _scene
+
+    gm = _GM(*_scene(n=2000, seed=5))
+    cam = _cam(w=160, h=96)
+    q, t = _pose()
+    rcfg = RenderConfig(backend="pallas", pair_cap=1 << 15)
+    pcfg = PhaseConfig(
+        use_sil_for_loss=True, sil_thres=0.5, use_l1=True,
+        ignore_outlier_depth_loss=False, w_im=0.5, w_depth=1.0,
+    )
+    rng = np.random.default_rng(2)
+    color = jnp.asarray(rng.uniform(0, 1, (3, 96, 160)), jnp.float32)
+    depth_gt = jnp.asarray(rng.uniform(1, 5, (96, 160)), jnp.float32)
+
+    ps = loss_pair_structure(gm, q, t, cam, rcfg, with_world16=True)
+    assert ps.world16 is not None
+
+    def loss_fast(qt):
+        return get_loss(gm, qt[0], qt[1], color, depth_gt, cam, pcfg, rcfg,
+                        True, False, pair_structure=ps)[0]
+
+    def loss_std(qt):
+        return get_loss(gm, qt[0], qt[1], color, depth_gt, cam, pcfg, rcfg,
+                        True, False,
+                        pair_structure=ps._replace(world16=None))[0]
+
+    lf, gf = jax.jit(jax.value_and_grad(loss_fast))((q, t))
+    ls, gs = jax.jit(jax.value_and_grad(loss_std))((q, t))
+    np.testing.assert_allclose(float(lf), float(ls), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(gf)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-3,
+            atol=2e-3 * float(np.max(np.abs(a))) + 1e-6,
+        )
