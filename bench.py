@@ -47,9 +47,15 @@ def main():
     config["mapping"]["num_iters"] = 60
     config["mapping_window_size"] = 24
     config["keyframe_every"] = 5
+    # Buffer capacities scale with resolution: frame 0 alone seeds ~H*W
+    # gaussians (dense backprojection), and the map grows ~3-5% per frame.
+    cap = 1 << 19
+    while cap < 2 * height * width:
+        cap <<= 1
+    pair_cap = min(cap << 1, 1 << 22)  # binning packs offsets in 23 bits
     config["tpu"] = dict(
-        capacity=1 << 19,
-        pair_cap=1 << 20,
+        capacity=int(os.environ.get("BENCH_CAP", cap)),
+        pair_cap=int(os.environ.get("BENCH_PAIR_CAP", pair_cap)),
         tile_k_max=int(os.environ.get("BENCH_TILE_K", 4096)),
         backend=os.environ.get("BENCH_BACKEND", "auto"),
         rebin_every=int(os.environ.get("BENCH_REBIN", 8)),

@@ -39,7 +39,8 @@ THRESHOLDS = {
 
 
 def run_variant(name: str, frames: int, h: int, w: int, rebin: int,
-                workdir: str, track_iters: int = 60) -> dict:
+                workdir: str, track_iters: int = 60,
+                overrides: dict | None = None) -> dict:
     from splatam_tpu.slam.config import load_experiment_config, seed_everything
     from splatam_tpu.slam.pipeline import rgbd_slam
 
@@ -85,6 +86,15 @@ def run_variant(name: str, frames: int, h: int, w: int, rebin: int,
     config["report_global_progress_every"] = 25
     config.setdefault("tpu", {})
     config["tpu"]["rebin_every"] = rebin
+    if overrides:
+        # Shallow two-level merge: {"tracking": {"lrs": ...}} etc. — used by
+        # tests/test_gauntlet.py to verify a deliberate regression trips
+        # the gate.
+        for k, v in overrides.items():
+            if isinstance(v, dict) and isinstance(config.get(k), dict):
+                config[k].update(v)
+            else:
+                config[k] = v
     seed_everything(int(config.get("seed", 0)))
 
     t0 = time.time()
