@@ -27,6 +27,14 @@ REFERENCE_FRAME_SECONDS = 2.5  # reference per-frame track+map (BASELINE.md)
 
 def main():
     os.environ.setdefault("SPLATAM_BENCH", "1")
+    # BENCH_PLATFORM=cpu forces the CPU backend via the config API — the
+    # axon sitecustomize force-sets jax_platforms="axon,cpu" over the
+    # JAX_PLATFORMS env var, so the env var alone cannot pick CPU here.
+    plat = os.environ.get("BENCH_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     import numpy as np
 
     from splatam_tpu.slam.config import load_experiment_config, seed_everything

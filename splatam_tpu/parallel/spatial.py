@@ -44,6 +44,136 @@ def shard_heights(height: int, n_shards: int) -> tuple[int, int]:
     return h_local, h_local * n_shards
 
 
+def _local(ps_sh):
+    """Strip the leading unit device axis off a shard-local PairStructure."""
+    return jax.tree.map(lambda x: x[0], ps_sh)
+
+
+def compute_pair_structure_sharded(
+    mesh: Mesh,
+    cam: Camera,
+    means_cam: jax.Array,
+    rots_cam: jax.Array,
+    logit_opacities: jax.Array,
+    log_scales: jax.Array,
+    active: jax.Array,
+    rcfg: RenderConfig,
+    world_rows: jax.Array | None = None,
+):
+    """Row-sharded render.api.compute_pair_structure: every shard expands,
+    sorts, and lays out ONLY the (gaussian, tile) pairs of its own row block
+    (its cy-shifted camera culls the rest at the tile-rect stage), so the
+    binning work — the dominant structure cost — shrinks ~1/n_shards per
+    device instead of being replicated. Only the O(N) projection itself is
+    replicated (~2 ms at 1M gaussians, full res).
+
+    rcfg.pair_cap is the PER-SHARD pair budget. `world_rows` ([N, 16],
+    render.pairspace.pack_world_rows) additionally gathers each shard's
+    world16 for the pair-space tracking path.
+
+    Returns a PairStructure pytree whose leaves carry a leading
+    [n_shards, ...] device axis (sharded over the mesh); feed it back to
+    render_rgbd_sil_sharded / render_rgbd_sil_pairspace_sharded.
+    """
+    from splatam_tpu.render.api import compute_pair_structure
+
+    n_shards = mesh.devices.size
+    h_local, _ = shard_heights(cam.height, n_shards)
+    cam_local = cam._replace(height=h_local)
+
+    def build(means_cam, rots_cam, logit_op, log_scales, active, *maybe_world):
+        row0 = (jax.lax.axis_index(AXIS) * h_local).astype(jnp.float32)
+        ps = compute_pair_structure(
+            cam_local, means_cam, rots_cam, logit_op, log_scales, active,
+            rcfg,
+            intrinsics_override=(
+                jnp.float32(cam.fx), jnp.float32(cam.fy),
+                jnp.float32(cam.cx), jnp.float32(cam.cy) - row0,
+            ),
+            lim_wh=(cam.width, cam.height),
+        )
+        if maybe_world and ps.pad_gauss is not None:
+            from splatam_tpu.render.pallas.composite_pallas import (
+                _split_row_gather,
+            )
+
+            ps = ps._replace(
+                world16=_split_row_gather(maybe_world[0], ps.pad_gauss).T
+            )
+        return jax.tree.map(lambda x: x[None], ps)
+
+    args = (means_cam, rots_cam, logit_opacities, log_scales, active)
+    if world_rows is not None:
+        args = args + (world_rows,)
+    fn = jax.shard_map(
+        build,
+        mesh=mesh,
+        in_specs=(P(),) * len(args),
+        out_specs=P(AXIS),
+        check_vma=False,
+    )
+    return fn(*args)
+
+
+def render_rgbd_sil_pairspace_sharded(
+    mesh: Mesh,
+    cam: Camera,
+    ps_sh,
+    q: jax.Array,
+    t: jax.Array,
+    n_gauss: int,
+) -> RenderOutput:
+    """Row-sharded render.api.render_rgbd_sil_pairspace: each shard projects
+    its OWN world16 pairs at pose (q, t) against its cy-shifted row block
+    and composites locally; the row blocks are all-gathered and the pose
+    cotangents psum automatically through shard_map's replicated-input
+    transpose. Numerics per pixel are identical to the single-chip
+    pair-space path (pixel math never crosses row blocks)."""
+    from splatam_tpu.render import pairspace
+    from splatam_tpu.render.pallas import composite_pallas
+
+    n_shards = mesh.devices.size
+    h_local, _ = shard_heights(cam.height, n_shards)
+    h_full = cam.height
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def rend(ps_sh, q, t):
+        ps = _local(ps_sh)
+        row0 = (jax.lax.axis_index(AXIS) * h_local).astype(jnp.float32)
+        padded16 = pairspace.project_pairs(
+            ps.world16, q, t,
+            jnp.float32(cam.fx), jnp.float32(cam.fy),
+            jnp.float32(cam.cx), jnp.float32(cam.cy) - row0,
+            cam.width, h_local, lim_wh=(cam.width, h_full),
+        )
+        img = composite_pallas.composite_pairs(
+            padded16, ps, cam.width, h_local
+        )
+        img_full = jax.lax.all_gather(img, AXIS, axis=1, tiled=True)
+        overflow = jax.lax.pmax(ps.bins.overflow, AXIS)
+        n_pairs = jax.lax.psum(ps.bins.n_pairs, AXIS)
+        return img_full, overflow, n_pairs
+
+    img, overflow, n_pairs = rend(ps_sh, q, t)
+    img = img[:, :h_full, :]
+    # pallas rows [r, g, b, z, z^2, sil] -> public [r, g, b, z, sil, z^2].
+    return RenderOutput(
+        im=img[:3],
+        depth=img[3],
+        silhouette=img[5],
+        depth_sq=img[4],
+        radii=jnp.zeros((n_gauss,), jnp.int32),  # unused by tracking
+        overflow=overflow,
+        n_pairs=n_pairs,
+    )
+
+
 def render_rgbd_sil_sharded(
     mesh: Mesh,
     cam: Camera,
@@ -55,6 +185,7 @@ def render_rgbd_sil_sharded(
     active: jax.Array,
     rcfg: RenderConfig,
     means2d_dummy: jax.Array | None = None,
+    pair_structure=None,
 ) -> RenderOutput:
     """Row-sharded drop-in for render_rgbd_sil.
 
@@ -65,6 +196,10 @@ def render_rgbd_sil_sharded(
     crosses row blocks; a Gaussian overlapping a boundary is composited by
     both owners onto disjoint pixels). radii are pmax-combined because each
     shard culls against its own tile grid.
+
+    `pair_structure` reuses a compute_pair_structure_sharded result (leading
+    device axis): each shard composites from its own row-block structure,
+    so the per-iteration binning cost is gone exactly as on one chip.
     """
     n_shards = mesh.devices.size
     h_local, h_pad = shard_heights(cam.height, n_shards)
@@ -81,14 +216,18 @@ def render_rgbd_sil_sharded(
             [1.0, h_full / h_local], jnp.float32
         )
 
+    have_ps = pair_structure is not None
+    ps_spec = (P(AXIS),) if have_ps else ()
+
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(), P()) + ps_spec,
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
-    def rend(means_cam, colors, rots_cam, logit_op, log_scales, active, dummy):
+    def rend(means_cam, colors, rots_cam, logit_op, log_scales, active, dummy,
+             *maybe_ps):
         row0 = (jax.lax.axis_index(AXIS) * h_local).astype(jnp.float32)
         img, radii, overflow, n_pairs = render_gaussians(
             cam_local,
@@ -107,6 +246,7 @@ def render_rgbd_sil_sharded(
                 jnp.float32(cam.cy) - row0,
             ),
             lim_wh=(cam.width, cam.height),
+            pair_structure=_local(maybe_ps[0]) if maybe_ps else None,
         )
         img_full = jax.lax.all_gather(img, AXIS, axis=1, tiled=True)
         radii = jax.lax.pmax(radii, AXIS)
@@ -114,9 +254,11 @@ def render_rgbd_sil_sharded(
         n_pairs = jax.lax.psum(n_pairs, AXIS)
         return img_full, radii, overflow, n_pairs
 
-    img, radii, overflow, n_pairs = rend(
-        means_cam, colors, rots_cam, logit_opacities, log_scales, active, dummy
-    )
+    args = (means_cam, colors, rots_cam, logit_opacities, log_scales, active,
+            dummy)
+    if have_ps:
+        args = args + (pair_structure,)
+    img, radii, overflow, n_pairs = rend(*args)
     img = img[:, :h_full, :]
     return RenderOutput(
         im=img[:3],

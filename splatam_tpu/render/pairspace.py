@@ -64,7 +64,8 @@ def pack_world_rows(means3d, unnorm_rotations, logit_opacities, log_scales,
     )
 
 
-def project_pairs(world16, q, t, fx, fy, cx, cy, width: int, height: int):
+def project_pairs(world16, q, t, fx, fy, cx, cy, width: int, height: int,
+                  lim_wh: tuple | None = None):
     """EWA-project per PAIR SLOT: world16 [16, P] -> kernel attrs [16, P].
 
     Differentiable in (q, t) only (world16 is a rebin-time constant).
@@ -72,7 +73,12 @@ def project_pairs(world16, q, t, fx, fy, cx, cy, width: int, height: int):
     opacity, then channels (r, g, b, z, z^2), rest zero. Mirrors
     render.projection.project (reference renderCUDA preprocess; the w2c here
     is the tracked pose itself — the SLAM path renders with identity
-    camera w2c after transform_to_frame)."""
+    camera w2c after transform_to_frame).
+
+    lim_wh overrides the (width, height) used for the 1.3*tanfov frustum
+    clamp — row-sharded rendering passes the FULL image extent so cov2d
+    matches the single-chip projection while (cy, height) describe the
+    local row block (projection.project has the same override)."""
     rmat = build_rotation(normalize(q)[None])[0]
     mw_x, mw_y, mw_z = world16[0], world16[1], world16[2]
     px = rmat[0, 0] * mw_x + rmat[0, 1] * mw_y + rmat[0, 2] * mw_z + t[0]
@@ -101,8 +107,9 @@ def project_pairs(world16, q, t, fx, fy, cx, cy, width: int, height: int):
     def _vrk(i, j):
         return sum(wsig[i][k] * rmat[j, k] for k in range(3))
 
-    limx = 1.3 * (width / (2.0 * fx))
-    limy = 1.3 * (height / (2.0 * fy))
+    lim_w, lim_h = lim_wh if lim_wh is not None else (width, height)
+    limx = 1.3 * (lim_w / (2.0 * fx))
+    limy = 1.3 * (lim_h / (2.0 * fy))
     txtz = jnp.clip(px / safe_tz, -limx, limx)
     tytz = jnp.clip(py / safe_tz, -limy, limy)
     tx = txtz * safe_tz

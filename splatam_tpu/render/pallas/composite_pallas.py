@@ -625,6 +625,31 @@ def segment_reduce_scan_pallas(grads_grouped, gid_grouped):
 # ---------------------------------------------------------------------------
 
 
+# XLA's TPU gather runs ~4x slower per index once the table operand holds
+# more than ~2^25 elements (measured on v5e: [2.77M,16]f32 gathers at
+# 23.6 ns/idx vs 5.9 ns/idx for the same rows split into [2.77M,8] halves;
+# the cliff follows ELEMENT COUNT — f16 at the same element count is just
+# as slow, and the column-split halves overlap so 2x8 costs ~1x8). Split
+# any wide row gather whose table crosses the threshold.
+_GATHER_SPLIT_ELEMS = 1 << 24
+
+
+def _split_row_gather(table_rows, idx):
+    """table_rows [R, W] gathered at idx -> [len(idx), W], column-split
+    when R*W crosses the slow-gather cliff."""
+    r, w = table_rows.shape
+    if r * w <= _GATHER_SPLIT_ELEMS or w < 2:
+        return table_rows.at[idx].get(mode="fill", fill_value=0.0)
+    h = w // 2
+    return jnp.concatenate(
+        [
+            table_rows[:, :h].at[idx].get(mode="fill", fill_value=0.0),
+            table_rows[:, h:].at[idx].get(mode="fill", fill_value=0.0),
+        ],
+        axis=1,
+    )
+
+
 def _pack_attrs_rows(xy, conic, opacity, channels):
     """[N, ATTR_W] row-major attrs (row gathers are far cheaper than axis-1
     gathers on TPU; the [ATTR_W, P_pad] kernel layout comes from one
@@ -649,7 +674,7 @@ def _composite_core_fwd(xy, conic, opacity, channels, pad_data, grid_x, num_tile
     (pad_gauss, pad_start, lens, dst, counts, in_stream, gid_sorted,
      dst_sorted) = pad_data
     attrs_rows = _pack_attrs_rows(xy, conic, opacity, channels)
-    padded16 = attrs_rows[pad_gauss].T  # row gather, then one transpose
+    padded16 = _split_row_gather(attrs_rows, pad_gauss).T  # row gather + transpose
     out = composite_forward_pallas(padded16, pad_start, lens, grid_x, num_tiles, ch)
     res = (padded16, pad_start, lens, dst, counts, in_stream, gid_sorted,
            dst_sorted, out, xy.shape[0])
@@ -676,9 +701,9 @@ def _composite_core_bwd(grid_x, num_tiles, ch, res, g_acc):
     )  # [16, P_pad]; real-but-unreached slots are zero-filled by the kernel
     pair_cap = dst.shape[0]
 
-    grads_grouped = dattrs.T.at[dst_sorted].get(
-        mode="fill", fill_value=0.0
-    ).T  # [16, pair_cap]; XLA fuses the transposes into the gather
+    grads_grouped = _split_row_gather(
+        dattrs.T, dst_sorted
+    ).T  # [16, pair_cap]; XLA fuses the transposes into the gathers
 
     scanned = segment_reduce_scan_pallas(grads_grouped, gid_sorted)
 
@@ -686,9 +711,7 @@ def _composite_core_bwd(grid_x, num_tiles, ch, res, g_acc):
     end_slot = jnp.minimum(offsets + counts, pair_cap) - 1
     d_all = jnp.where(
         in_stream[:, None],
-        scanned.T.at[jnp.clip(end_slot, 0, pair_cap - 1)].get(
-            mode="fill", fill_value=0.0
-        ),
+        _split_row_gather(scanned.T, jnp.clip(end_slot, 0, pair_cap - 1)),
         0.0,
     )  # [n_gauss, 16]
     d_xy = d_all[:, 0:2]

@@ -308,16 +308,39 @@ class SLAMRuntime:
         return min(b, self.gm.capacity)
 
     def _phase_rcfg(self, bucket: int, n_active: int | None = None) -> RenderConfig:
-        # Pair buffers scale with the LIVE map (measured ~1.7-1.9 tiles per
-        # visible gaussian), at 128k granularity so the expansion+sort don't
-        # pay the power-of-two bucket's up-to-2x slack. pair_margin starts
-        # at 2.0 and grows when a phase reports overflow (the phase is then
-        # retried — see _bump_pair_margin).
+        # Pair buffers scale with the BUCKET (not the live count): pair_cap
+        # is a pure function of the bucket rung, so the bucket ladder is
+        # the ONLY compile-shape ladder. A live-count-proportional pair cap
+        # (the round-2 design, 128k granularity) crossed a pair rung nearly
+        # every frame at 1200x680 (~130k new pairs/frame), and each
+        # crossing recompiled all three phase programs — worse, background
+        # compiles run on the same XLA service that executes the phases, so
+        # storms also slowed steady-state execution ~4x (full-res bench:
+        # ~800 ms/map-iter observed vs 190 ms warm+idle). The cost is pair
+        # padding tracking the bucket's up-to-1.5x slack (pair-proportional
+        # stages are ~60% of a mapping iter; measured ~+10-20%), which the
+        # storm's elimination repays many times over. pair_margin starts at
+        # 2.0 pairs/gaussian (measured ~1.7-1.9) and grows on overflow
+        # (the phase is then retried — see _bump_pair_margin).
         if n_active is None:
             n_active = bucket
-        gran = 1 << 17
-        budget = ((int(n_active * self.pair_margin) + gran - 1) // gran) * gran
-        pair_cap = max(1 << 16, min(budget, int(self.config["tpu"]["pair_cap"])))
+        # Under a mesh, pair_cap is the PER-SHARD budget: each shard bins
+        # only its own row block (compute_pair_structure_sharded), so the
+        # global pair population splits ~evenly across shards. The 1.3
+        # headroom covers row-boundary duplicates (a splat overlapping a
+        # block boundary is binned by both owners) and shard imbalance;
+        # underestimates are caught by the pmax'd overflow + retry.
+        n_sh = self.mesh.devices.size if self.mesh is not None else 1
+        gran = 1 << 17 if n_sh == 1 else 1 << 14
+        budget = int(bucket * self.pair_margin)
+        if n_sh > 1:
+            budget = int(budget * 1.3) // n_sh
+        budget = ((budget + gran - 1) // gran) * gran
+        floor = max((1 << 16) // n_sh, 1 << 13)
+        ceil_cap = int(self.config["tpu"]["pair_cap"])
+        if n_sh > 1:
+            ceil_cap = max(int(ceil_cap * 1.3) // n_sh, floor)
+        pair_cap = max(floor, min(budget, ceil_cap))
         return RenderConfig(
             backend=self.rcfg.backend,
             pair_cap=pair_cap,
@@ -333,8 +356,17 @@ class SLAMRuntime:
         rather than refusing: a truncated pair list renders holes, the
         densifier reads the holes as unmapped area, and the map explodes —
         a silent-drop ceiling turns one overflow into a death spiral.
-        Returns False only at the hard memory bound."""
+        Returns False only at the hard memory bound.
+
+        Under a mesh, ovf/cur_cap are PER-SHARD (the phase pmax'es shard
+        overflows); translate to the global pair population before updating
+        the (global) margin and ceiling, inverting _phase_rcfg's
+        budget*1.3/n_sh per-shard split."""
+        n_sh = self.mesh.devices.size if self.mesh is not None else 1
         needed = cur_cap + ovf
+        if n_sh > 1:
+            needed = int(needed * n_sh / 1.3) + 1
+            cur_cap = int(cur_cap * n_sh / 1.3)
         tpu = self.config["tpu"]
         ceiling = int(tpu["pair_cap"])
         hard_max = int(tpu.get("pair_cap_max", 1 << 23))
@@ -391,8 +423,9 @@ class SLAMRuntime:
         # duplicating it if growth outruns the compile.
         bucket_now = self._bucket(n_active)
         rcfg_now = self._phase_rcfg(bucket_now, n_active)
-        n_next_pair = int(rcfg_now.pair_cap / self.pair_margin) + 1
-        n_cross = min(n_next_pair, bucket_now + 1)
+        # pair_cap is a pure function of the bucket (see _phase_rcfg), so
+        # the next compile-shape crossing is exactly the next bucket rung.
+        n_cross = bucket_now + 1
         if n_cross > min(n_active + 24 * self._growth, self.gm.capacity):
             return
         bucket_p = self._bucket(max(n_cross, n_active))
@@ -476,7 +509,7 @@ class SLAMRuntime:
                     gm_s.logit_opacities, gm_s.log_scales)
         opt_s = optim.AdamState(m=params_s, v=params_s, step=sds((), jnp.int32))
         gsv = sds((bucket,), f32)
-        reuse = self.rebin_every > 1 and self.mesh is None
+        reuse = self.rebin_every > 1
         s_max = max(int(self.config["mapping_window_size"]), 1)
         m_args = (
             gm_s,
@@ -829,7 +862,7 @@ class SLAMRuntime:
             jnp.int32(start_iter),
             track_stats,
             mesh=self.mesh,
-            reuse_structures=self.rebin_every > 1 and self.mesh is None,
+            reuse_structures=self.rebin_every > 1,
             struct_qs=struct_qs,
             struct_ts=struct_ts,
             iter_struct_idx=iter_struct_idx,

@@ -129,7 +129,6 @@ def get_loss(
     pairspace_path = (
         tracking
         and not do_ba
-        and mesh is None
         and pair_structure is not None
         and pair_structure.world16 is not None
     )
@@ -138,12 +137,22 @@ def get_loss(
         # frozen (stop_gradient side of transform_to_frame), so the render
         # projects rebin-time world rows per PAIR and backprops pairs ->
         # pose, skipping the attr gather and the whole pairs->gaussian
-        # gradient reduction. Loss semantics below are shared.
-        from splatam_tpu.render.api import render_rgbd_sil_pairspace
+        # gradient reduction. Loss semantics below are shared. Under a mesh
+        # each shard runs the same math on its own row-block pairs.
+        if mesh is not None:
+            from splatam_tpu.parallel.spatial import (
+                render_rgbd_sil_pairspace_sharded,
+            )
 
-        out = render_rgbd_sil_pairspace(
-            cam, pair_structure, q, t, gm.means3d.shape[0]
-        )
+            out = render_rgbd_sil_pairspace_sharded(
+                mesh, cam, pair_structure, q, t, gm.means3d.shape[0]
+            )
+        else:
+            from splatam_tpu.render.api import render_rgbd_sil_pairspace
+
+            out = render_rgbd_sil_pairspace(
+                cam, pair_structure, q, t, gm.means3d.shape[0]
+            )
     else:
         if tracking:
             means_cam, rots_cam = transform_to_frame(gm, q, t, False, True)
@@ -165,6 +174,7 @@ def get_loss(
             out = render_rgbd_sil_sharded(
                 mesh, cam, means_cam, colors, rots_cam, logit_op, log_scales,
                 gm.active, rcfg, means2d_dummy=means2d_dummy,
+                pair_structure=pair_structure,
             )
         else:
             out = render_rgbd_sil(
@@ -244,28 +254,47 @@ def get_loss(
 
 
 def loss_pair_structure(gm: GaussianMap, q, t, cam: Camera, rcfg: RenderConfig,
-                        with_world16: bool = False):
+                        with_world16: bool = False, mesh=None):
     """The reusable binning structure for a get_loss render at this pose and
     parameter snapshot (render.api.PairStructure).
 
     with_world16 additionally gathers the WORLD-frame attr rows into the
     padded pair layout for the pair-space tracking path (render.pairspace) —
-    only the tracking rebin sites pay for it."""
+    only the tracking rebin sites pay for it.
+
+    With `mesh`, each shard builds (and later reuses) the structure of its
+    OWN row block (parallel.spatial.compute_pair_structure_sharded; leaves
+    carry a leading device axis), so binning work shrinks per shard and
+    reuse composes with row sharding."""
+    means_cam, rots_cam = transform_to_frame(gm, sg(q), sg(t), False, False)
+
+    world_rows = None
+    if with_world16:
+        from splatam_tpu.render import pairspace
+
+        world_rows = sg(pairspace.pack_world_rows(
+            gm.means3d, gm.unnorm_rotations, gm.logit_opacities,
+            gm.log_scales, gm.rgb_colors, gm.active,
+        ))
+
+    if mesh is not None:
+        from splatam_tpu.parallel.spatial import compute_pair_structure_sharded
+
+        return compute_pair_structure_sharded(
+            mesh, cam, means_cam, rots_cam, gm.logit_opacities,
+            gm.log_scales, gm.active, rcfg, world_rows=world_rows,
+        )
+
     from splatam_tpu.render.api import compute_pair_structure
 
-    means_cam, rots_cam = transform_to_frame(gm, sg(q), sg(t), False, False)
     ps = compute_pair_structure(
         cam, means_cam, rots_cam, gm.logit_opacities, gm.log_scales,
         gm.active, rcfg,
     )
-    if with_world16 and ps.pad_gauss is not None:
-        from splatam_tpu.render import pairspace
+    if world_rows is not None and ps.pad_gauss is not None:
+        from splatam_tpu.render.pallas.composite_pallas import _split_row_gather
 
-        rows = sg(pairspace.pack_world_rows(
-            gm.means3d, gm.unnorm_rotations, gm.logit_opacities,
-            gm.log_scales, gm.rgb_colors, gm.active,
-        ))
-        ps = ps._replace(world16=rows[ps.pad_gauss].T)
+        ps = ps._replace(world16=_split_row_gather(world_rows, ps.pad_gauss).T)
     return ps
 
 
@@ -314,7 +343,7 @@ def tracking_phase(
     contributions the 1/255 alpha cutoff would skip anyway. 1 = exact
     per-iteration binning (reference semantics).
     """
-    use_rebin = rebin_every > 1 and mesh is None
+    use_rebin = rebin_every > 1
 
     def loss_fn(qt, ps):
         q, t = qt
@@ -334,7 +363,8 @@ def tracking_phase(
             ps = jax.lax.cond(
                 (it > 0) & (it % rebin_every == 0),
                 lambda qt, ps: loss_pair_structure(gm, qt[0], qt[1], cam, rcfg,
-                                                   with_world16=True),
+                                                   with_world16=True,
+                                                   mesh=mesh),
                 lambda qt, ps: ps,
                 qt, ps,
             )
@@ -370,7 +400,8 @@ def tracking_phase(
         return (it + 1, limit, qt, st, best_q, best_t, min_loss, ovf, hist, ps)
 
     st0 = optim.adam_init((q0, t0))
-    ps0 = (loss_pair_structure(gm, q0, t0, cam, rcfg, with_world16=True)
+    ps0 = (loss_pair_structure(gm, q0, t0, cam, rcfg, with_world16=True,
+                               mesh=mesh)
            if use_rebin else None)
     carry0 = (
         jnp.int32(0),
@@ -486,11 +517,12 @@ def mapping_phase(
         gm.log_scales,
     )
     lr_tuple = tuple(jnp.float32(lr) for lr in lrs)
-    use_ps = reuse_structures and mesh is None
+    use_ps = reuse_structures
 
     if use_ps:
         s_max = struct_qs.shape[0]
-        ps_proto = loss_pair_structure(gm, struct_qs[0], struct_ts[0], cam, rcfg)
+        ps_proto = loss_pair_structure(gm, struct_qs[0], struct_ts[0], cam,
+                                       rcfg, mesh=mesh)
         ps_stack = jax.tree.map(
             lambda p: jnp.zeros((s_max,) + p.shape, p.dtype).at[0].set(p),
             ps_proto,
@@ -502,7 +534,7 @@ def mapping_phase(
             ps = jax.lax.cond(
                 i < n_structs,
                 lambda: loss_pair_structure(
-                    gm, struct_qs[i], struct_ts[i], cam, rcfg
+                    gm, struct_qs[i], struct_ts[i], cam, rcfg, mesh=mesh
                 ),
                 lambda: jax.tree.map(jnp.zeros_like, ps_proto),
             )

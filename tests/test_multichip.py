@@ -138,6 +138,76 @@ def test_sharded_mapping_phase_matches_unsharded():
     np.testing.assert_allclose(np.asarray(gsv_b[1]), np.asarray(gsv_a[1]), atol=1e-6)
 
 
+@pytest.mark.skipif(N_DEV < 2, reason="needs multiple devices")
+def test_sharded_tracking_reuse_matches_unsharded_reuse():
+    """Pair-structure reuse must COMPOSE with row sharding: each shard
+    builds/reuses its own row-block structure (compute_pair_structure_sharded)
+    and the result matches the single-chip reuse path."""
+    gm = _scene(seed=6)
+    color, depth = _frame(seed=7)
+    q0 = jnp.asarray([1.0, 0.01, 0, 0], jnp.float32)
+    t0 = jnp.asarray([0.05, 0, 0], jnp.float32)
+    mesh = make_mesh(N_DEV)
+
+    args = (gm, q0, t0, color, depth, CAM, 6, False, 1e5, 2e-3, 1e-3, PCFG_T, RCFG)
+    q_a, t_a, it_a, loss_a, _, _ = steps.tracking_phase(*args, rebin_every=3)
+    q_b, t_b, it_b, loss_b, _, _ = steps.tracking_phase(
+        *args, mesh=mesh, rebin_every=3
+    )
+    assert int(it_a) == int(it_b)
+    np.testing.assert_allclose(float(loss_b), float(loss_a), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(q_b), np.asarray(q_a), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t_b), np.asarray(t_a), atol=1e-5)
+
+
+@pytest.mark.skipif(N_DEV < 2, reason="needs multiple devices")
+def test_sharded_mapping_reuse_matches_unsharded_reuse():
+    gm = _scene(seed=8)
+    color, depth = _frame(seed=9)
+    mesh = make_mesh(N_DEV)
+    n_iters = 4
+    kf_colors = jnp.zeros((1, H, W, 3), jnp.uint8).at[0].set(
+        (jnp.transpose(color, (1, 2, 0)) * 255).astype(jnp.uint8)
+    )
+    kf_depths = depth[None]
+    q = jnp.asarray([1.0, 0, 0, 0], jnp.float32)
+    t = jnp.zeros(3, jnp.float32)
+    params = (gm.means3d, gm.rgb_colors, gm.unnorm_rotations,
+              gm.logit_opacities, gm.log_scales)
+    zeros = jnp.zeros((gm.capacity,), jnp.float32)
+
+    def run(mesh_arg):
+        return steps.mapping_phase(
+            gm, kf_colors, kf_depths,
+            jnp.zeros((n_iters,), jnp.int32),
+            jnp.tile(q[None], (n_iters, 1)),
+            jnp.tile(t[None], (n_iters, 1)),
+            jnp.float32(2.0), CAM, n_iters, PCFG_M, RCFG,
+            steps.PruneConfig(enabled=True, prune_every=2, stop_after=10),
+            (1e-4, 2.5e-3, 1e-3, 5e-2, 1e-3),
+            optim.adam_init(params),
+            (zeros, zeros, zeros),
+            track_stats=True,
+            mesh=mesh_arg,
+            reuse_structures=True,
+            struct_qs=jnp.tile(q[None], (2, 1)),
+            struct_ts=jnp.tile(t[None], (2, 1)),
+            iter_struct_idx=jnp.zeros((n_iters,), jnp.int32),
+            n_structs=jnp.int32(1),
+        )
+
+    gm_a, _, gsv_a, loss_a, _, _ = run(None)
+    gm_b, _, gsv_b, loss_b, _, _ = run(mesh)
+    np.testing.assert_allclose(float(loss_b), float(loss_a), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(gm_b.means3d), np.asarray(gm_a.means3d), atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(gm_b.active), np.asarray(gm_a.active))
+    np.testing.assert_allclose(
+        np.asarray(gsv_b[0]), np.asarray(gsv_a[0]), rtol=1e-3, atol=1e-6
+    )
+
+
 def test_dryrun_multichip_entrypoints():
     import __graft_entry__ as ge
 
