@@ -166,14 +166,29 @@ def project(
 
     grid_x = (width + TILE - 1) // TILE
     grid_y = (height + TILE - 1) // TILE
-    # Tile rect from the PER-AXIS 3-sigma extents (3*sqrt(cov_xx/yy)) instead
-    # of the reference's isotropic 3*sqrt(lambda_max) circle: an exact
-    # axis-aligned bound of the 3-sigma ellipse, ~20-30% fewer
-    # (gaussian, tile) pairs on anisotropic splats. `radius` (the reported
-    # screen extent, parity with the reference's radii output) keeps the
-    # circle definition above.
-    rx = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(c00, 0.0)))
-    ry = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(c11, 0.0)))
+    # Tile rect from the PER-AXIS extents of the ALPHA-CUTOFF ellipse
+    # instead of the reference's isotropic 3*sqrt(lambda_max) circle. Two
+    # exact tightenings compose here:
+    #   1. per-axis bounds (3-sigma -> sqrt(9*cov_xx/yy)): the axis-aligned
+    #      bbox of the ellipse, ~20-30% fewer pairs on anisotropic splats;
+    #   2. opacity-aware radius: every backend skips (pixel, splat) pairs
+    #      with alpha = op*exp(-power) < 1/255 (the reference renderCUDA's
+    #      in-kernel rule), and min-power along the line dx=const is
+    #      0.5*dx^2/cov_xx, so pixels with dx^2 > 2*ln(255*op)*cov_xx can
+    #      NEVER pass the cutoff — the rect only needs
+    #      sqrt(min(2*ln(255*op), 9) * cov_xx). Low-opacity splats (the
+    #      bulk of an optimized map) shrink toward zero tiles; a splat with
+    #      op <= 1/255 has no passing pixel at all and drops out entirely.
+    #      Dropped pairs contributed literally nothing forward OR backward
+    #      (the in-kernel skip zeroes both), so rendered images and
+    #      gradients are bit-identical.
+    # `radius` (the reported screen extent, parity with the reference's
+    # radii output) keeps the circle definition above.
+    op = jax.nn.sigmoid(logit_opacities)
+    cut = jnp.minimum(2.0 * jnp.log(255.0 * jnp.maximum(op, 1e-12)), 9.0)
+    cut = jnp.maximum(cut, 0.0)
+    rx = jnp.ceil(jnp.sqrt(cut * jnp.maximum(c00, 0.0)))
+    ry = jnp.ceil(jnp.sqrt(cut * jnp.maximum(c11, 0.0)))
     # getRect: float divide then C-style trunc-to-int, clamped to the grid.
     rmin_x = jnp.clip(((pix_x - rx) / TILE).astype(jnp.int32), 0, grid_x)
     rmin_y = jnp.clip(((pix_y - ry) / TILE).astype(jnp.int32), 0, grid_y)
@@ -189,7 +204,7 @@ def project(
         xy=xy,
         depth=tz,
         conic=conic,
-        opacity=jax.nn.sigmoid(logit_opacities),
+        opacity=op,
     )
     aux = ProjectedAux(
         radius=radius,

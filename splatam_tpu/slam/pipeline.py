@@ -60,6 +60,23 @@ def _prune_cfg(mapping: dict) -> steps.PruneConfig:
     )
 
 
+def _downscale_camera(cam: Camera, factor: int) -> Camera:
+    """Camera for the stride-`factor` subsample of the image (coarse-to-fine
+    tracking): coarse pixel (i, j) is full pixel (i*factor, j*factor), so
+    the principal point maps through the renderer's half-pixel convention
+    (ndc2Pix: u = fx X/Z + cx - 0.5) as cx_c = (cx - 0.5)/f + 0.5 — with
+    that, u_coarse == u_full / f exactly and the coarse optimum is the
+    full-res optimum."""
+    return cam._replace(
+        height=-(-cam.height // factor),
+        width=-(-cam.width // factor),
+        fx=cam.fx / factor,
+        fy=cam.fy / factor,
+        cx=(cam.cx - 0.5) / factor + 0.5,
+        cy=(cam.cy - 0.5) / factor + 0.5,
+    )
+
+
 def _next_pow2_int(n: int) -> int:
     p = 1
     while p < n:
@@ -473,26 +490,37 @@ class SLAMRuntime:
         f32 = jnp.float32
         cfg_t = self.config["tracking"]
         tc = self.tracking_cam
-        t_args = (
-            gm_s,
-            sds((4,), f32),
-            sds((3,), f32),
-            sds((3, tc.height, tc.width), f32),
-            sds((tc.height, tc.width), f32),
-            tc,
-            int(cfg_t["num_iters"]),
-            bool(cfg_t["use_depth_loss_thres"]),
-            float(cfg_t["depth_loss_thres"]),
-            float(cfg_t["lrs"]["cam_unnorm_rots"]),
-            float(cfg_t["lrs"]["cam_trans"]),
-            self.pcfg_track,
-            rcfg,
-        )
-        t_kwargs = dict(
-            mesh=self.mesh,
-            rebin_every=self.rebin_every,
-            lr_decay_frac=float(cfg_t.get("lr_decay_frac", 1.0)),
-        )
+        levels = self._c2f_levels()
+        full_iters = int(cfg_t["num_iters"])
+        if levels and not cfg_t.get("c2f_extra_iters", False):
+            full_iters = max(full_iters - sum(n for _, n in levels), 1)
+        lr_q = float(cfg_t["lrs"]["cam_unnorm_rots"])
+        lr_t = float(cfg_t["lrs"]["cam_trans"])
+
+        def _t_prog(cam, num_iters, final: bool):
+            args = (
+                gm_s,
+                sds((4,), f32),
+                sds((3,), f32),
+                sds((3, cam.height, cam.width), f32),
+                sds((cam.height, cam.width), f32),
+                cam,
+                num_iters,
+                bool(cfg_t["use_depth_loss_thres"]) if final else False,
+                float(cfg_t["depth_loss_thres"]) if final else 0.0,
+                lr_q,
+                lr_t,
+                self.pcfg_track,
+                rcfg,
+            )
+            kwargs = dict(mesh=self.mesh, rebin_every=self.rebin_every)
+            if final:
+                kwargs["lr_decay_frac"] = float(cfg_t.get("lr_decay_frac", 1.0))
+            return args, kwargs
+
+        t_progs = [
+            _t_prog(_downscale_camera(tc, f), n, False) for f, n in levels
+        ] + [_t_prog(tc, full_iters, True)]
 
         cfg_m = self.config["mapping"]
         num_iters = int(cfg_m["num_iters"])
@@ -561,7 +589,10 @@ class SLAMRuntime:
             rcfg,
         )
         d_kwargs = dict(mesh=self.mesh)
-        return (t_args, t_kwargs), (m_args, m_kwargs), (d_args, d_kwargs)
+        progs = [(steps.tracking_phase, a, k) for a, k in t_progs]
+        progs.append((steps.densify_step, d_args, d_kwargs))
+        progs.append((steps.mapping_phase, m_args, m_kwargs))
+        return progs
 
     @staticmethod
     def _compile_phases(packed, key, inflight, precompiled=None) -> None:
@@ -577,17 +608,12 @@ class SLAMRuntime:
                 failed.append(e)
 
         try:
-            (t_args, t_kwargs), (m_args, m_kwargs), (d_args, d_kwargs) = packed
-            # The three programs compile concurrently — the compile service
+            # The programs compile concurrently — the compile service
             # overlaps requests, so the background window shrinks toward
             # the longest single program instead of the sum.
             ts = [
                 threading.Thread(target=one, args=(fn, a, k), daemon=True)
-                for fn, a, k in (
-                    (steps.tracking_phase, t_args, t_kwargs),
-                    (steps.densify_step, d_args, d_kwargs),
-                    (steps.mapping_phase, m_args, m_kwargs),
-                )
+                for fn, a, k in packed
             ]
             for t in ts:
                 t.start()
@@ -709,6 +735,20 @@ class SLAMRuntime:
                 self.keyframe_time_indices.append(time_idx)
 
     # -------------------------------------------------------------------
+    def _c2f_levels(self) -> list:
+        """Coarse-to-fine tracking schedule: [(downscale_factor, iters), ...]
+        coarse prefix levels, run before the full-resolution phase. TPU-native
+        extension (config tracking.coarse_to_fine, default off = exact
+        reference semantics): the coarse levels pull the pose into the
+        full-res basin through wider, less aliased loss landscapes, cutting
+        per-frame tracking noise (the dominant ATE term per GAUNTLET.md's
+        shadow-tracking diagnostic) at a fraction of full-res iteration
+        cost (a factor-f level renders ~f^2 fewer pixels)."""
+        c2f = self.config["tracking"].get("coarse_to_fine") or {}
+        if not c2f.get("enabled", False):
+            return []
+        return [(int(f), int(n)) for f, n in c2f.get("levels", []) if int(n) > 0]
+
     def track_frame(self, time_idx: int, tr_color, tr_depth) -> None:
         cfg_t = self.config["tracking"]
         n_active = int(self.gm.num_active())
@@ -716,36 +756,76 @@ class SLAMRuntime:
         gm_view, _ = G.slice_prefix(self.gm, self.timestep, bucket)
         q0 = jnp.asarray(self.cam_rots[time_idx])
         t0 = jnp.asarray(self.cam_trans[time_idx])
+        lr_q = float(cfg_t["lrs"]["cam_unnorm_rots"])
+        lr_t = float(cfg_t["lrs"]["cam_trans"])
+        levels = self._c2f_levels()
+        full_iters = int(cfg_t["num_iters"])
+        if levels and not cfg_t.get("c2f_extra_iters", False):
+            # Keep the total iteration budget: coarse iters come out of
+            # num_iters (c2f_extra_iters=True runs them on top instead).
+            full_iters = max(full_iters - sum(n for _, n in levels), 1)
         for _attempt in range(4):
             rcfg = self._phase_rcfg(bucket, n_active)
             self._join_inflight(rcfg.pair_cap, bucket)
+            q_lv, t_lv = q0, t0
+            coarse_hists: list = []
+            coarse_iters = 0
+            ovf_coarse = 0
+            for factor, n_it in levels:
+                cam_c = _downscale_camera(self.tracking_cam, factor)
+                q_lv, t_lv, it_c, _loss_c, ovf_c, hist_c = steps.tracking_phase(
+                    gm_view,
+                    q_lv,
+                    t_lv,
+                    tr_color[:, ::factor, ::factor],
+                    tr_depth[::factor, ::factor],
+                    cam_c,
+                    n_it,
+                    False,  # depth_loss_thres extension: full-res level only
+                    0.0,
+                    lr_q,
+                    lr_t,
+                    self.pcfg_track,
+                    rcfg,
+                    mesh=self.mesh,
+                    rebin_every=self.rebin_every,
+                )
+                ovf_coarse = max(ovf_coarse, int(ovf_c))
+                coarse_iters += int(it_c)
+                coarse_hists.append(np.asarray(hist_c)[: int(it_c)])
             best_q, best_t, iters, _loss, ovf, hist = steps.tracking_phase(
                 gm_view,
-                q0,
-                t0,
+                q_lv,
+                t_lv,
                 tr_color,
                 tr_depth,
                 self.tracking_cam,
-                int(cfg_t["num_iters"]),
+                full_iters,
                 bool(cfg_t["use_depth_loss_thres"]),
                 float(cfg_t["depth_loss_thres"]),
-                float(cfg_t["lrs"]["cam_unnorm_rots"]),
-                float(cfg_t["lrs"]["cam_trans"]),
+                lr_q,
+                lr_t,
                 self.pcfg_track,
                 rcfg,
                 mesh=self.mesh,
                 rebin_every=self.rebin_every,
                 lr_decay_frac=float(cfg_t.get("lr_decay_frac", 1.0)),
             )
-            if int(ovf) == 0 or not self._bump_pair_margin(
-                n_active, int(ovf), rcfg.pair_cap, "tracking"
+            ovf_total = max(ovf_coarse, int(ovf))
+            if ovf_total == 0 or not self._bump_pair_margin(
+                n_active, ovf_total, rcfg.pair_cap, "tracking"
             ):
                 break
         best_q.block_until_ready()
         self.cam_rots[time_idx] = np.asarray(best_q)
         self.cam_trans[time_idx] = np.asarray(best_t)
-        self._iters_run = int(iters)
-        self._tracking_hist = np.asarray(hist)[: self._iters_run]
+        self._iters_run = coarse_iters + int(iters)
+        full_hist = np.asarray(hist)[: int(iters)]
+        self._tracking_hist = (
+            np.concatenate(coarse_hists + [full_hist])
+            if coarse_hists
+            else full_hist
+        )
 
     def densify_frame(self, time_idx: int, d_color, d_depth) -> None:
         q = jnp.asarray(self.cam_rots[time_idx])
