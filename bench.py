@@ -68,6 +68,7 @@ def main():
         backend=os.environ.get("BENCH_BACKEND", "auto"),
         rebin_every=int(os.environ.get("BENCH_REBIN", 8)),
         spatial_shards=int(os.environ.get("BENCH_SHARDS", 0)),
+        direct_j=int(os.environ.get("BENCH_DIRECT_J", 0)),
     )
     seed_everything(0)
 

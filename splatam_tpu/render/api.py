@@ -32,6 +32,9 @@ class RenderConfig:
     backend: str = "auto"  # "naive" | "tiles" | "pallas" | "auto"
     pair_cap: int = 1 << 21  # global (gaussian, tile) pair buffer capacity
     tile_k_max: int = 2048  # per-tile gaussian list capacity (tiles backend)
+    # J-slot direct pair expansion (binning.build_bins direct_j): 0 = classic
+    # spread path. Falls back to classic whenever pair_cap < J*N + 4096.
+    direct_j: int = 0
 
     def resolve_backend(self) -> str:
         if self.backend != "auto":
@@ -138,7 +141,8 @@ def compute_pair_structure(
         fx, fy, cx, cy, cam.width, cam.height, lim_wh=lim_wh,
     )
     bins = binning_mod.build_bins(
-        proj, aux, cam.width, cam.height, config.pair_cap, far=cam.far
+        proj, aux, cam.width, cam.height, config.pair_cap, far=cam.far,
+        direct_j=config.direct_j,
     )
     if config.resolve_backend() == "pallas":
         layout = pallas_layout(
@@ -172,7 +176,7 @@ def _composite_backend(cfg: RenderConfig, cam: Camera, xy, conic, opacity, depth
     else:
         bins = binning_mod.build_bins(
             proj._replace(depth=jax.lax.stop_gradient(depth)), aux, w, h,
-            cfg.pair_cap, far=cam.far,
+            cfg.pair_cap, far=cam.far, direct_j=cfg.direct_j,
         )
         if backend == "pallas":
             ps = PairStructure(bins, *pallas_layout(bins, num_tiles, xy.shape[0]))

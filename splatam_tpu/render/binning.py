@@ -79,7 +79,20 @@ def build_bins(
     height: int,
     pair_cap: int,
     far: float = 100.0,
+    direct_j: int = 0,
 ) -> Bins:
+    """Expand (gaussian, tile) pairs and sort them by (tile, depth) key.
+
+    direct_j > 0 selects the J-slot direct expansion: each gaussian's first
+    J pairs come from pure elementwise [N, J] math (no scatter, no gather)
+    and only rect areas > J go through the spread path over a small
+    remainder buffer — the spread+gather stage shrinks to the tail's size.
+    Falls back to the classic path when pair_cap cannot fit J*N + tail.
+    """
+    if direct_j > 0 and pair_cap >= direct_j * proj.depth.shape[0] + 4096:
+        return _build_bins_direct(
+            proj, aux, width, height, pair_cap, direct_j, far
+        )
     grid_x, grid_y = grid_shape(width, height)
     num_tiles = grid_x * grid_y
     bits = depth_bits_for(num_tiles)
@@ -146,6 +159,102 @@ def build_bins(
         overflow=overflow,
         counts=counts.astype(jnp.int32),
         in_stream=(counts > 0) & (offsets < pair_cap),
+    )
+
+
+def _build_bins_direct(
+    proj: Projected,
+    aux: ProjectedAux,
+    width: int,
+    height: int,
+    pair_cap: int,
+    J: int,
+    far: float,
+) -> Bins:
+    """J-slot direct pair expansion (see build_bins docstring).
+
+    The total pair stream stays exactly [pair_cap]: the leading J*N slots
+    hold each gaussian's first J pairs in (gaussian, j) row-major order —
+    matching the classic path's stable-sort tie order for rect areas <= J —
+    and the trailing rem_cap = pair_cap - J*N slots hold the j >= J tail
+    via the classic spread. Only the tail can overflow: every visible
+    gaussian always keeps its first J pairs, so overflow degrades renders
+    gradually instead of dropping whole gaussians from the stream (the
+    classic path truncates by gaussian index, silently un-streaming the
+    tail of the map)."""
+    grid_x, grid_y = grid_shape(width, height)
+    num_tiles = grid_x * grid_y
+    bits = depth_bits_for(num_tiles)
+    qmax = (1 << bits) - 1
+    n = proj.depth.shape[0]
+    rem_cap = pair_cap - J * n
+    assert rem_cap >= 4096
+    if rem_cap >= 1 << 23:
+        raise ValueError("remainder cap must be < 2^23 (offset bit packing)")
+
+    rect_w = aux.rect_wh[:, 0]
+    counts = jnp.where(aux.visible, rect_w * aux.rect_wh[:, 1], 0)
+
+    z = jnp.clip(proj.depth, NEAR_CLIP, far)
+    log_span = math.log(far / NEAR_CLIP)
+    qdepth = jnp.clip(
+        (jnp.log(z / NEAR_CLIP) / log_span * qmax).astype(jnp.int32), 0, qmax
+    )
+    key_base = (
+        (aux.rect_min[:, 1] * grid_x + aux.rect_min[:, 0]) << bits
+    ) | qdepth
+    sentinel = jnp.int32(2**31 - 1)
+
+    # Direct part: [N, J] pure elementwise math, row-major so ties keep the
+    # classic (gaussian, j) order. Integer div/mod has no TPU hardware
+    # support; rect widths are tiny so exact float math is safe.
+    wf = jnp.maximum(rect_w, 1).astype(jnp.float32)[:, None]  # [N, 1]
+    jf = jnp.arange(J, dtype=jnp.float32)[None, :]  # [1, J]
+    tdy = jnp.floor(jf / wf).astype(jnp.int32)
+    tdx = jnp.arange(J, dtype=jnp.int32)[None, :] - tdy * rect_w[:, None]
+    dkey = key_base[:, None] + ((tdy * grid_x + tdx) << bits)
+    dvalid = jnp.arange(J, dtype=jnp.int32)[None, :] < counts[:, None]
+    dkey = jnp.where(dvalid, dkey, sentinel)
+    dg = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, J))
+
+    # Remainder part (j >= J): classic spread over the small tail buffer.
+    rem_counts = jnp.maximum(counts - J, 0)
+    rem_offsets = jnp.cumsum(rem_counts) - rem_counts
+    rem_total = rem_offsets[-1] + rem_counts[-1]
+    overflow = jnp.maximum(rem_total - rem_cap, 0)
+    off_clamped = jnp.minimum(rem_offsets, rem_cap).astype(jnp.int32)
+    off_w = off_clamped | (jnp.clip(jnp.maximum(rect_w, 1), 1, 127) << 23)
+    g = segment_spread(jnp.arange(n, dtype=jnp.int32), off_clamped, rem_cap)
+    table = jnp.stack([off_w, key_base], axis=1)  # [N, 2]
+    seg = table[g]
+    seg_ow, seg_base = seg[:, 0], seg[:, 1]
+    seg_off = seg_ow & ((1 << 23) - 1)
+    w = seg_ow >> 23
+    slot = jnp.arange(rem_cap, dtype=jnp.int32)
+    rvalid = slot < rem_total
+    j = slot - seg_off + J
+    jfr = j.astype(jnp.float32)
+    rtdy = jnp.floor(jfr / w.astype(jnp.float32)).astype(jnp.int32)
+    rtdx = j - rtdy * w
+    rkey = seg_base + ((rtdy * grid_x + rtdx) << bits)
+    rkey = jnp.where(rvalid, rkey, sentinel)
+
+    key = jnp.concatenate([dkey.reshape(n * J), rkey])
+    gs = jnp.concatenate([dg.reshape(n * J), g])
+    sorted_key, pair_gauss = jax.lax.sort_key_val(key, gs, is_stable=True)
+
+    targets = (jnp.arange(num_tiles + 1, dtype=jnp.int32) << bits)
+    tile_start = jnp.searchsorted(sorted_key, targets, side="left").astype(jnp.int32)
+    total = jnp.sum(counts)
+    return Bins(
+        pair_gauss=pair_gauss,
+        tile_start=tile_start,
+        n_pairs=total - overflow,
+        overflow=overflow,
+        counts=counts.astype(jnp.int32),
+        # Every visible gaussian's first pair is a direct slot, always in
+        # stream; only j >= J tail pairs can drop.
+        in_stream=counts > 0,
     )
 
 

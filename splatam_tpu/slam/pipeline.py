@@ -349,7 +349,13 @@ class SLAMRuntime:
         # underestimates are caught by the pmax'd overflow + retry.
         n_sh = self.mesh.devices.size if self.mesh is not None else 1
         gran = 1 << 17 if n_sh == 1 else 1 << 14
-        budget = int(bucket * self.pair_margin)
+        # Direct J-slot expansion needs J pairs per BUCKET slot plus a tail
+        # buffer; under a mesh each shard bins only its row block, where
+        # full-N direct slots would not shrink with shard count — classic
+        # spread stays the sharded expansion.
+        direct_j = int(self.config["tpu"].get("direct_j", 0)) if n_sh == 1 else 0
+        margin = max(self.pair_margin, direct_j + 0.25)
+        budget = int(bucket * margin)
         if n_sh > 1:
             budget = int(budget * 1.3) // n_sh
         budget = ((budget + gran - 1) // gran) * gran
@@ -362,6 +368,7 @@ class SLAMRuntime:
             backend=self.rcfg.backend,
             pair_cap=pair_cap,
             tile_k_max=self.rcfg.tile_k_max,
+            direct_j=direct_j,
         )
 
     def _bump_pair_margin(self, n_active: int, ovf: int, cur_cap: int,

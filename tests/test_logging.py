@@ -50,6 +50,7 @@ def test_pair_margin_bump_logic():
     rt = SLAMRuntime.__new__(SLAMRuntime)  # no full init needed
     rt.config = {"tpu": {"pair_cap": 1 << 20}}
     rt.pair_margin = 2.0
+    rt.mesh = None  # single-chip: no per-shard budget translation
     assert rt._bump_pair_margin(100_000, 50_000, 262_144, "tracking")
     assert rt.pair_margin >= 3.0  # (262k+50k)*1.15/100k or 1.5x
     # At the old ceiling: the ceiling itself grows and the retry proceeds.
@@ -67,6 +68,7 @@ def test_phase_rcfg_scales_with_margin():
     rt.config = {"tpu": {"pair_cap": 1 << 21}}
     rt.rcfg = RenderConfig(backend="tiles", pair_cap=1 << 21, tile_k_max=512)
     rt.pair_margin = 2.0
+    rt.mesh = None
     base = rt._phase_rcfg(1 << 18, 200_000).pair_cap
     rt.pair_margin = 4.0
     assert rt._phase_rcfg(1 << 18, 200_000).pair_cap > base
