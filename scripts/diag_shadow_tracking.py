@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--iters", type=int, default=60)
     ap.add_argument("--lr_decay", type=float, default=0.05)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--c2f", default="",
+                    help="coarse-to-fine levels 'factor:iters,...', e.g. '4:10,2:10'")
+    ap.add_argument("--c2f_extra", action="store_true",
+                    help="run coarse iters on top of --iters instead of within")
+    ap.add_argument("--direct_j", type=int, default=0)
     args = ap.parse_args()
 
     if args.cpu:
@@ -55,6 +60,17 @@ def main():
     config["mapping_window_size"] = 24
     config["keyframe_every"] = 5
     config.setdefault("tpu", {})["rebin_every"] = 8
+    if args.direct_j:
+        config["tpu"]["direct_j"] = args.direct_j
+    if args.c2f:
+        levels = [
+            [int(f), int(n)]
+            for f, n in (lv.split(":") for lv in args.c2f.split(","))
+        ]
+        config["tracking"]["coarse_to_fine"] = {
+            "enabled": True, "levels": levels,
+        }
+        config["tracking"]["c2f_extra_iters"] = bool(args.c2f_extra)
     seed_everything(0)
 
     rt = SLAMRuntime(config)

@@ -112,14 +112,40 @@ def main():
     ap.add_argument("--track_iters", type=int, default=60)
     ap.add_argument("--variant", default="both", choices=["clean", "noise", "both"])
     ap.add_argument("--workdir", default="/tmp/splatam_gauntlet")
+    ap.add_argument("--c2f", default="",
+                    help="coarse-to-fine levels 'factor:iters,...', e.g. '4:10,2:10'")
+    ap.add_argument("--c2f_extra", action="store_true",
+                    help="run coarse iters on top of track_iters instead of within")
+    ap.add_argument("--direct_j", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (axon sitecustomize overrides "
+                         "JAX_PLATFORMS, so an env var alone cannot)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    overrides: dict = {}
+    if args.direct_j:
+        overrides["tpu"] = {"direct_j": args.direct_j}
+    if args.c2f:
+        levels = [
+            [int(f), int(n)]
+            for f, n in (lv.split(":") for lv in args.c2f.split(","))
+        ]
+        overrides["tracking"] = {
+            "coarse_to_fine": {"enabled": True, "levels": levels},
+            "c2f_extra_iters": bool(args.c2f_extra),
+        }
 
     variants = ["clean", "noise"] if args.variant == "both" else [args.variant]
     results, failures = {}, []
     for name in variants:
         print(f"\n===== gauntlet variant: {name} =====")
         m = run_variant(name, args.frames, args.h, args.w, args.rebin,
-                        args.workdir, args.track_iters)
+                        args.workdir, args.track_iters, overrides=overrides)
         ate_cm = m["ate_rmse"] * 100
         results[name] = {
             "ate_cm": round(ate_cm, 4),
