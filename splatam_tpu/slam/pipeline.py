@@ -199,6 +199,9 @@ class SLAMRuntime:
         # keyframe per phase chunk. 1 = exact per-iteration binning.
         self.rebin_every = int(tpu.get("rebin_every", 1))
         self.pair_margin = 2.0  # pairs per live gaussian; grows on overflow
+        # Live tracking-loss window state (_save_tracking_loss_viz).
+        self._viz_fig = None
+        self._viz_live_failed = False
         # Async precompile of upcoming bucket/pair-ladder shapes (see
         # _maybe_precompile). Keyed by (bucket, pair_cap).
         self._precompiled: set = set()
@@ -1116,15 +1119,19 @@ class SLAMRuntime:
 
 
 def _save_tracking_loss_viz(rt, time_idx: int, color, depth) -> None:
-    """Save-to-disk variant of visualize_tracking_loss
-    (scripts/splatam.py:292-337): after the frame's tracking converges,
-    render at the tracked pose and save the GT / render / diff panel. (The
-    reference shows a live per-iteration window; the fused while_loop phase
-    makes per-iteration frames prohibitively chatty, so this saves one panel
-    per frame.)"""
+    """visualize_tracking_loss (scripts/splatam.py:292-337): after the
+    frame's tracking converges, render at the tracked pose and save the
+    GT / render / diff panel. When a display is available the panel is ALSO
+    shown in a live window updated every frame (the reference updates its
+    window per tracking iteration; here iterations live inside one jitted
+    while_loop, so per-frame is the closest honest granularity — the
+    per-iteration loss history is replayed separately by
+    report_iter_progress)."""
     import matplotlib
 
-    matplotlib.use("Agg")
+    live = bool(os.environ.get("DISPLAY")) and not rt._viz_live_failed
+    if not live:
+        matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     from splatam_tpu.eval.evaluate import render_at_pose
@@ -1138,7 +1145,20 @@ def _save_tracking_loss_viz(rt, time_idx: int, color, depth) -> None:
     im = np.clip(np.asarray(out.im).transpose(1, 2, 0), 0, 1)
     gt_im = np.asarray(color).transpose(1, 2, 0)
     rd, gd = np.asarray(out.depth), np.asarray(depth)
-    fig, axs = plt.subplots(2, 4, figsize=(16, 7))
+    if live and rt._viz_fig is not None:
+        fig, axs = rt._viz_fig
+        for ax in axs.flatten():
+            ax.clear()
+    else:
+        fig, axs = plt.subplots(2, 4, figsize=(16, 7))
+        if live:
+            try:
+                plt.ion()
+                fig.show()
+                rt._viz_fig = (fig, axs)
+            except Exception:
+                # No usable GUI backend after all — fall back for the run.
+                rt._viz_live_failed, live = True, False
     panels = [
         (gt_im, "GT RGB", None),
         (gd, "GT Depth", "jet"),
@@ -1157,8 +1177,12 @@ def _save_tracking_loss_viz(rt, time_idx: int, color, depth) -> None:
     viz_dir = os.path.join(rt.output_dir, "tracking_loss_viz")
     os.makedirs(viz_dir, exist_ok=True)
     fig.tight_layout()
-    plt.savefig(os.path.join(viz_dir, f"{time_idx:04d}.png"), bbox_inches="tight")
-    plt.close(fig)
+    fig.savefig(os.path.join(viz_dir, f"{time_idx:04d}.png"), bbox_inches="tight")
+    if live:
+        fig.canvas.draw_idle()
+        fig.canvas.flush_events()
+    else:
+        plt.close(fig)
 
 
 def rgbd_slam(config: dict) -> dict:

@@ -76,6 +76,36 @@ def test_pallas_backward_matches_tiles():
         np.testing.assert_allclose(y, x, atol=5e-5 * scale, err_msg=name)
 
 
+def test_pallas_direct_j_matches_classic():
+    """J-slot direct pair expansion feeds the pallas kernels the same sorted
+    pair stream as the classic spread path (tests/test_binning_direct.py
+    pins this on CPU through the tiles backend; this closes it on TPU)."""
+    scene = _scene(seed=2)
+    cfg_d = RenderConfig(backend="pallas", pair_cap=1 << 14, tile_k_max=1024,
+                         direct_j=2)
+
+    def outs(cfg):
+        @jax.jit
+        def g(means, rgb, quats, logit, logsc, active):
+            def loss(m):
+                img, _, _, _ = render_gaussians(
+                    CAM, m, rgb, quats, logit, logsc, active, config=cfg
+                )
+                return jnp.sum(img ** 2), img
+
+            (l, img), grad = jax.value_and_grad(loss, has_aux=True)(means)
+            return img, grad
+        return g(*scene)
+
+    img_c, grad_c = outs(CFG_P)
+    img_d, grad_d = outs(cfg_d)
+    np.testing.assert_allclose(np.asarray(img_d), np.asarray(img_c), atol=1e-5)
+    scale = np.abs(np.asarray(grad_c)).max() + 1e-8
+    np.testing.assert_allclose(
+        np.asarray(grad_d), np.asarray(grad_c), atol=1e-5 * scale
+    )
+
+
 def test_pairspace_tracking_matches_standard_path():
     """Tracking get_loss via the pair-space fast path (world16 +
     composite_pairs, grads pairs->pose) matches the standard reuse path

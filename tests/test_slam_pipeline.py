@@ -63,10 +63,20 @@ def test_slam_full_tracking(tmp_path):
     from splatam_tpu.slam.pipeline import rgbd_slam
 
     seed_everything(0)
-    config = small_config(tmp_path)
+    config = small_config(
+        tmp_path,
+        # Ride-along coverage: the tracking-loss panel (headless Agg path)
+        # and the J-slot direct pair expansion, both through the full loop.
+        tracking={"visualize_tracking_loss": True},
+        tpu={"direct_j": 2},
+    )
     metrics = rgbd_slam(config)
     assert metrics["psnr"] > 18.0, metrics
     assert metrics["ate_rmse"] < 0.05, metrics  # < 5 cm on a ~1 m trajectory
+    viz_dir = os.path.join(
+        config["workdir"], config["run_name"], "tracking_loss_viz"
+    )
+    assert len(os.listdir(viz_dir)) >= 5  # one panel per tracked frame
 
 
 @pytest.mark.slow
