@@ -69,6 +69,7 @@ def main():
         rebin_every=int(os.environ.get("BENCH_REBIN", 8)),
         spatial_shards=int(os.environ.get("BENCH_SHARDS", 0)),
         direct_j=int(os.environ.get("BENCH_DIRECT_J", 0)),
+        tile_cull=os.environ.get("BENCH_TILE_CULL", "0") == "1",
     )
     seed_everything(0)
 

@@ -117,6 +117,8 @@ def main():
     ap.add_argument("--c2f_extra", action="store_true",
                     help="run coarse iters on top of track_iters instead of within")
     ap.add_argument("--direct_j", type=int, default=0)
+    ap.add_argument("--tile_cull", action="store_true",
+                    help="exact alpha-cutoff (gaussian, tile) pair culling")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (axon sitecustomize overrides "
                          "JAX_PLATFORMS, so an env var alone cannot)")
@@ -129,7 +131,9 @@ def main():
 
     overrides: dict = {}
     if args.direct_j:
-        overrides["tpu"] = {"direct_j": args.direct_j}
+        overrides.setdefault("tpu", {})["direct_j"] = args.direct_j
+    if args.tile_cull:
+        overrides.setdefault("tpu", {})["tile_cull"] = True
     if args.c2f:
         levels = [
             [int(f), int(n)]

@@ -117,7 +117,8 @@ def run_stages(args, gm, cam, rcfg, q, t, color, depth_gt):
 
     def bins_fn(m):
         p, ax = proj_fn(m)
-        return B.build_bins(p, ax, w, h, rcfg.pair_cap, far=cam.far)
+        return B.build_bins(p, ax, w, h, rcfg.pair_cap, far=cam.far,
+                            direct_j=rcfg.direct_j, tile_cull=rcfg.tile_cull)
 
     timed_loop("  proj + build_bins (spread+key sort)", bins_fn, gm.means3d)
 
@@ -251,6 +252,8 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--stages", action="store_true",
                     help="in-loop per-stage breakdown (slower to compile)")
+    ap.add_argument("--direct_j", type=int, default=0)
+    ap.add_argument("--tile_cull", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -295,7 +298,8 @@ def main():
     t = jnp.zeros((3,), jnp.float32)
     color = jnp.zeros((3, h, w), jnp.float32)
     depth_gt = jnp.full((h, w), 3.0, jnp.float32)
-    rcfg = RenderConfig(pair_cap=args.pair_cap)
+    rcfg = RenderConfig(pair_cap=args.pair_cap, direct_j=args.direct_j,
+                        tile_cull=args.tile_cull)
 
     if args.stages:
         run_stages(args, gm, cam, rcfg, q, t, color, depth_gt)

@@ -35,6 +35,10 @@ class RenderConfig:
     # J-slot direct pair expansion (binning.build_bins direct_j): 0 = classic
     # spread path. Falls back to classic whenever pair_cap < J*N + 4096.
     direct_j: int = 0
+    # Exact (gaussian, tile) alpha-cutoff culling (binning._tile_cull): drops
+    # pairs whose whole tile sits below the 1/255 in-kernel alpha skip —
+    # zero-contribution pairs only, so outputs move by reassociation ulps.
+    tile_cull: bool = False
 
     def resolve_backend(self) -> str:
         if self.backend != "auto":
@@ -142,7 +146,7 @@ def compute_pair_structure(
     )
     bins = binning_mod.build_bins(
         proj, aux, cam.width, cam.height, config.pair_cap, far=cam.far,
-        direct_j=config.direct_j,
+        direct_j=config.direct_j, tile_cull=config.tile_cull,
     )
     if config.resolve_backend() == "pallas":
         layout = pallas_layout(
@@ -177,6 +181,7 @@ def _composite_backend(cfg: RenderConfig, cam: Camera, xy, conic, opacity, depth
         bins = binning_mod.build_bins(
             proj._replace(depth=jax.lax.stop_gradient(depth)), aux, w, h,
             cfg.pair_cap, far=cam.far, direct_j=cfg.direct_j,
+            tile_cull=cfg.tile_cull,
         )
         if backend == "pallas":
             ps = PairStructure(bins, *pallas_layout(bins, num_tiles, xy.shape[0]))

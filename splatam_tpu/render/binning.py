@@ -72,6 +72,50 @@ def segment_spread(values: jax.Array, seg_starts: jax.Array, out_len: int) -> ja
     return out[:, 0] if squeeze else out
 
 
+def _box_min_quad(xlo, xhi, ylo, yhi, a, b, c):
+    """min over the box [xlo,xhi]x[ylo,yhi] of q(d) = a*dx^2 + 2b*dx*dy + c*dy^2.
+
+    q is PSD (conic of a positive-definite cov2d), so the min is 0 when the
+    box contains the origin and lies on one of the four edges otherwise —
+    each edge min is a clamped 1D quadratic. Pure elementwise math."""
+    c_s = jnp.maximum(c, 1e-12)
+    a_s = jnp.maximum(a, 1e-12)
+
+    def edge_x(x0):
+        ys = jnp.clip(-b * x0 / c_s, ylo, yhi)
+        return a * x0 * x0 + 2.0 * b * x0 * ys + c * ys * ys
+
+    def edge_y(y0):
+        xs = jnp.clip(-b * y0 / a_s, xlo, xhi)
+        return a * xs * xs + 2.0 * b * xs * y0 + c * y0 * y0
+
+    m = jnp.minimum(
+        jnp.minimum(edge_x(xlo), edge_x(xhi)),
+        jnp.minimum(edge_y(ylo), edge_y(yhi)),
+    )
+    inside = (xlo <= 0.0) & (xhi >= 0.0) & (ylo <= 0.0) & (yhi >= 0.0)
+    return jnp.where(inside, 0.0, m)
+
+
+def _cull_cut(opacity: jax.Array) -> jax.Array:
+    """Mahalanobis-squared alpha-cutoff threshold: alpha = op*exp(-q/2) <
+    1/255 iff q > 2*ln(255*op). NO 3-sigma cap here (unlike the rect bound):
+    the cull must only drop pairs every backend's alpha<1/255 in-kernel skip
+    already zeroes, leaving contributions and gradients exactly unchanged."""
+    return jnp.maximum(2.0 * jnp.log(255.0 * jnp.maximum(opacity, 1e-12)), 0.0)
+
+
+def _tile_cull(tx, ty, px, py, a, b, c, cut):
+    """True for (gaussian, tile) pairs whose minimum alpha over the tile's
+    16x16 pixel box is below 1/255 — exactly-zero contributors forward and
+    backward. The 1e-4 slack keeps borderline pairs against float noise
+    between this expression and the kernels' per-pixel power."""
+    xlo = tx.astype(jnp.float32) * TILE - px
+    ylo = ty.astype(jnp.float32) * TILE - py
+    m = _box_min_quad(xlo, xlo + (TILE - 1.0), ylo, ylo + (TILE - 1.0), a, b, c)
+    return m > cut + 1e-4
+
+
 def build_bins(
     proj: Projected,
     aux: ProjectedAux,
@@ -80,6 +124,7 @@ def build_bins(
     pair_cap: int,
     far: float = 100.0,
     direct_j: int = 0,
+    tile_cull: bool = False,
 ) -> Bins:
     """Expand (gaussian, tile) pairs and sort them by (tile, depth) key.
 
@@ -88,10 +133,17 @@ def build_bins(
     and only rect areas > J go through the spread path over a small
     remainder buffer — the spread+gather stage shrinks to the tail's size.
     Falls back to the classic path when pair_cap cannot fit J*N + tail.
+
+    tile_cull drops pairs whose tile lies inside the bbox but entirely
+    outside the alpha-cutoff ellipse (_tile_cull): every pixel of such a pair
+    is skipped in-kernel, so dropping them changes outputs only by the float
+    reassociation of shifting survivors across compositor chunk boundaries
+    (~1 ulp). Each gaussian's first pair is force-kept so in_stream/offsets
+    semantics are unchanged.
     """
     if direct_j > 0 and pair_cap >= direct_j * proj.depth.shape[0] + 4096:
         return _build_bins_direct(
-            proj, aux, width, height, pair_cap, direct_j, far
+            proj, aux, width, height, pair_cap, direct_j, far, tile_cull
         )
     grid_x, grid_y = grid_shape(width, height)
     num_tiles = grid_x * grid_y
@@ -125,12 +177,23 @@ def build_bins(
     off_clamped = jnp.minimum(offsets, pair_cap).astype(jnp.int32)
     off_w = off_clamped | (jnp.clip(jnp.maximum(rect_w, 1), 1, 127) << 23)
     starts = off_clamped
-    # One delta-scatter spread of the gaussian index, then one [P,2] row
+    # One delta-scatter spread of the gaussian index, then one [P,k] row
     # gather of the packed per-gaussian table. (Measured on the current
     # runtime: 9.1 ms vs 15.7 ms for three separate spreads — narrow row
-    # gathers are cheap, scatters are not.)
+    # gathers are cheap, scatters are not; row gathers are per-ROW bound,
+    # so the tile_cull columns below widen the rows for free.)
     g = segment_spread(jnp.arange(n, dtype=jnp.int32), starts, pair_cap)
-    table = jnp.stack([off_w, key_base], axis=1)  # [N, 2]
+    cols = [off_w, key_base]
+    if tile_cull:
+        bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+        rm_xy = aux.rect_min[:, 0] | (aux.rect_min[:, 1] << 12)
+        cols += [
+            rm_xy,
+            bc(proj.xy[:, 0]), bc(proj.xy[:, 1]),
+            bc(proj.conic[:, 0]), bc(proj.conic[:, 1]), bc(proj.conic[:, 2]),
+            bc(_cull_cut(proj.opacity)),
+        ]
+    table = jnp.stack(cols, axis=1)  # [N, 2 or 9]
     seg = table[g]
     seg_ow, seg_base = seg[:, 0], seg[:, 1]
     seg_off = seg_ow & ((1 << 23) - 1)
@@ -144,14 +207,28 @@ def build_bins(
     jf = j.astype(jnp.float32)
     tdy = jnp.floor(jf / w.astype(jnp.float32)).astype(jnp.int32)
     tdx = j - tdy * w
+    if tile_cull:
+        fb = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+        tx = (seg[:, 2] & 0xFFF) + tdx
+        ty = (seg[:, 2] >> 12) + tdy
+        cull = _tile_cull(
+            tx, ty, fb(seg[:, 3]), fb(seg[:, 4]),
+            fb(seg[:, 5]), fb(seg[:, 6]), fb(seg[:, 7]), fb(seg[:, 8]),
+        )
+        cull = cull & (j > 0) & valid  # force-keep each gaussian's first pair
+        valid_k = valid & ~cull
+        n_culled = jnp.sum(cull.astype(jnp.int32))
+    else:
+        valid_k = valid
+        n_culled = jnp.int32(0)
     key = seg_base + ((tdy * grid_x + tdx) << bits)
-    key = jnp.where(valid, key, jnp.int32(2**31 - 1))
+    key = jnp.where(valid_k, key, jnp.int32(2**31 - 1))
 
     sorted_key, pair_gauss = jax.lax.sort_key_val(key, g, is_stable=True)
 
     targets = (jnp.arange(num_tiles + 1, dtype=jnp.int32) << bits)
     tile_start = jnp.searchsorted(sorted_key, targets, side="left").astype(jnp.int32)
-    n_pairs = jnp.minimum(total, pair_cap)
+    n_pairs = jnp.minimum(total, pair_cap) - n_culled
     return Bins(
         pair_gauss=pair_gauss,
         tile_start=tile_start,
@@ -170,6 +247,7 @@ def _build_bins_direct(
     pair_cap: int,
     J: int,
     far: float,
+    tile_cull: bool = False,
 ) -> Bins:
     """J-slot direct pair expansion (see build_bins docstring).
 
@@ -216,6 +294,21 @@ def _build_bins_direct(
     dvalid = jnp.arange(J, dtype=jnp.int32)[None, :] < counts[:, None]
     dkey = jnp.where(dvalid, dkey, sentinel)
     dg = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, J))
+    n_culled = jnp.int32(0)
+    if tile_cull:
+        # Direct slots never leave per-gaussian layout, so the cull inputs
+        # broadcast straight from the projection — no table, no gather.
+        cut = _cull_cut(proj.opacity)
+        dcull = _tile_cull(
+            aux.rect_min[:, 0:1] + tdx, aux.rect_min[:, 1:2] + tdy,
+            proj.xy[:, 0:1], proj.xy[:, 1:2],
+            proj.conic[:, 0:1], proj.conic[:, 1:2], proj.conic[:, 2:3],
+            cut[:, None],
+        )
+        # force-keep j == 0 so in_stream = counts > 0 stays true
+        dcull = dcull & dvalid & (jnp.arange(J, dtype=jnp.int32)[None, :] > 0)
+        dkey = jnp.where(dcull, sentinel, dkey)
+        n_culled = n_culled + jnp.sum(dcull.astype(jnp.int32))
 
     # Remainder part (j >= J): classic spread over the small tail buffer.
     rem_counts = jnp.maximum(counts - J, 0)
@@ -225,7 +318,17 @@ def _build_bins_direct(
     off_clamped = jnp.minimum(rem_offsets, rem_cap).astype(jnp.int32)
     off_w = off_clamped | (jnp.clip(jnp.maximum(rect_w, 1), 1, 127) << 23)
     g = segment_spread(jnp.arange(n, dtype=jnp.int32), off_clamped, rem_cap)
-    table = jnp.stack([off_w, key_base], axis=1)  # [N, 2]
+    cols = [off_w, key_base]
+    if tile_cull:
+        bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+        rm_xy = aux.rect_min[:, 0] | (aux.rect_min[:, 1] << 12)
+        cols += [
+            rm_xy,
+            bc(proj.xy[:, 0]), bc(proj.xy[:, 1]),
+            bc(proj.conic[:, 0]), bc(proj.conic[:, 1]), bc(proj.conic[:, 2]),
+            bc(_cull_cut(proj.opacity)),
+        ]
+    table = jnp.stack(cols, axis=1)  # [N, 2 or 9]
     seg = table[g]
     seg_ow, seg_base = seg[:, 0], seg[:, 1]
     seg_off = seg_ow & ((1 << 23) - 1)
@@ -238,6 +341,18 @@ def _build_bins_direct(
     rtdx = j - rtdy * w
     rkey = seg_base + ((rtdy * grid_x + rtdx) << bits)
     rkey = jnp.where(rvalid, rkey, sentinel)
+    if tile_cull:
+        # Tail slots all have j >= J >= 1, so none is a gaussian's first pair
+        # and every one may be culled.
+        fb = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+        rcull = _tile_cull(
+            (seg[:, 2] & 0xFFF) + rtdx, (seg[:, 2] >> 12) + rtdy,
+            fb(seg[:, 3]), fb(seg[:, 4]),
+            fb(seg[:, 5]), fb(seg[:, 6]), fb(seg[:, 7]), fb(seg[:, 8]),
+        )
+        rcull = rcull & rvalid
+        rkey = jnp.where(rcull, sentinel, rkey)
+        n_culled = n_culled + jnp.sum(rcull.astype(jnp.int32))
 
     key = jnp.concatenate([dkey.reshape(n * J), rkey])
     gs = jnp.concatenate([dg.reshape(n * J), g])
@@ -249,7 +364,7 @@ def _build_bins_direct(
     return Bins(
         pair_gauss=pair_gauss,
         tile_start=tile_start,
-        n_pairs=total - overflow,
+        n_pairs=total - overflow - n_culled,
         overflow=overflow,
         counts=counts.astype(jnp.int32),
         # Every visible gaussian's first pair is a direct slot, always in

@@ -372,6 +372,7 @@ class SLAMRuntime:
             pair_cap=pair_cap,
             tile_k_max=self.rcfg.tile_k_max,
             direct_j=direct_j,
+            tile_cull=bool(self.config["tpu"].get("tile_cull", False)),
         )
 
     def _bump_pair_margin(self, n_active: int, ovf: int, cur_cap: int,
