@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--c2f", default="",
                     help="coarse-to-fine levels 'factor:iters,...', e.g. '4:10,2:10'")
+    ap.add_argument("--c2f_stride", action="store_true",
+                help="strided c2f downsample instead of average pooling")
     ap.add_argument("--c2f_extra", action="store_true",
                     help="run coarse iters on top of --iters instead of within")
     ap.add_argument("--direct_j", type=int, default=0)
@@ -69,6 +71,7 @@ def main():
         ]
         config["tracking"]["coarse_to_fine"] = {
             "enabled": True, "levels": levels,
+            "downsample": "stride" if args.c2f_stride else "pool",
         }
         config["tracking"]["c2f_extra_iters"] = bool(args.c2f_extra)
     seed_everything(0)

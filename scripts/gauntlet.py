@@ -114,6 +114,8 @@ def main():
     ap.add_argument("--workdir", default="/tmp/splatam_gauntlet")
     ap.add_argument("--c2f", default="",
                     help="coarse-to-fine levels 'factor:iters,...', e.g. '4:10,2:10'")
+    ap.add_argument("--c2f_stride", action="store_true",
+                help="strided c2f downsample instead of average pooling")
     ap.add_argument("--c2f_extra", action="store_true",
                     help="run coarse iters on top of track_iters instead of within")
     ap.add_argument("--direct_j", type=int, default=0)
@@ -140,7 +142,8 @@ def main():
             for f, n in (lv.split(":") for lv in args.c2f.split(","))
         ]
         overrides["tracking"] = {
-            "coarse_to_fine": {"enabled": True, "levels": levels},
+            "coarse_to_fine": {"enabled": True, "levels": levels,
+             "downsample": "stride" if args.c2f_stride else "pool"},
             "c2f_extra_iters": bool(args.c2f_extra),
         }
 

@@ -25,7 +25,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from splatam_tpu.core.camera import Camera
-from splatam_tpu.render.api import RenderConfig, RenderOutput, render_gaussians
+from splatam_tpu.render.api import (
+    RenderConfig, RenderOutput, encode_overflow, render_gaussians,
+)
 
 AXIS = "rows"
 
@@ -169,7 +171,7 @@ def render_rgbd_sil_pairspace_sharded(
         silhouette=img[5],
         depth_sq=img[4],
         radii=jnp.zeros((n_gauss,), jnp.int32),  # unused by tracking
-        overflow=overflow,
+        overflow=encode_overflow(overflow, jnp.int32(0)),
         n_pairs=n_pairs,
     )
 

@@ -52,8 +52,31 @@ class RenderOutput(NamedTuple):
     silhouette: jax.Array  # [H, W] accumulated opacity
     depth_sq: jax.Array  # [H, W] composited z^2
     radii: jax.Array  # [N] int32 screen radius (0 = culled)
-    overflow: jax.Array  # scalar int32: dropped pairs / list overflow
+    overflow: jax.Array  # scalar int32: encoded, see split_overflow
     n_pairs: jax.Array  # scalar int32: actual (gaussian, tile) pairs
+
+
+# The overflow scalar carries two distinct exhaustion channels whose remedies
+# differ: bits 0..29 count pairs dropped because pair_cap filled (fix: grow
+# pair_cap), bit 30 flags per-tile list truncation in the XLA tiles backend
+# (tile_k_max too small for some tile — growing pair_cap can NEVER clear it;
+# fix: grow tile_k_max). Packing both into one int32 keeps every phase/render
+# return arity stable; truthiness (`overflow > 0` = something was dropped)
+# is preserved for callers that only care whether the render is exact.
+LIST_OVERFLOW_FLAG = 1 << 30
+
+
+def encode_overflow(pair_overflow: jax.Array, list_overflow: jax.Array) -> jax.Array:
+    cnt = jnp.minimum(pair_overflow, LIST_OVERFLOW_FLAG - 1).astype(jnp.int32)
+    return cnt | jnp.where(
+        list_overflow > 0, jnp.int32(LIST_OVERFLOW_FLAG), jnp.int32(0)
+    )
+
+
+def split_overflow(overflow: int) -> tuple[int, bool]:
+    """Decode an overflow scalar -> (dropped pair count, tile-list flag)."""
+    ovf = int(overflow)
+    return ovf & (LIST_OVERFLOW_FLAG - 1), bool(ovf & LIST_OVERFLOW_FLAG)
 
 
 class PairStructure(NamedTuple):
@@ -195,7 +218,7 @@ def _composite_backend(cfg: RenderConfig, cam: Camera, xy, conic, opacity, depth
         img, list_overflow = composite_pallas.composite(
             xy, conic, opacity, channels, ps, w, h
         )
-        return img, bins.overflow + list_overflow, bins.n_pairs
+        return img, encode_overflow(bins.overflow, list_overflow), bins.n_pairs
 
     lists, lens, list_overflow = binning_mod.tile_lists(bins, num_tiles, cfg.tile_k_max)
     px, py = composite_jax.tile_pixel_coords(w, h)
@@ -203,7 +226,7 @@ def _composite_backend(cfg: RenderConfig, cam: Camera, xy, conic, opacity, depth
         xy, conic, opacity, channels, lists, lens, jnp.asarray(px), jnp.asarray(py)
     )
     img = composite_jax.assemble_image(acc, w, h)
-    return img, bins.overflow + list_overflow, bins.n_pairs
+    return img, encode_overflow(bins.overflow, list_overflow), bins.n_pairs
 
 
 def render_gaussians(
@@ -327,7 +350,7 @@ def render_rgbd_sil_pairspace(
         silhouette=img[5],
         depth_sq=img[4],
         radii=jnp.zeros((n_gauss,), jnp.int32),  # unused by tracking
-        overflow=ps.bins.overflow,
+        overflow=encode_overflow(ps.bins.overflow, jnp.int32(0)),
         n_pairs=ps.bins.n_pairs,
     )
 

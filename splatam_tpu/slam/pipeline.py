@@ -11,6 +11,7 @@ re-architecture documented in SURVEY.md section 7:
 """
 from __future__ import annotations
 
+import dataclasses
 import os
 import time
 
@@ -24,7 +25,7 @@ from splatam_tpu.core.transforms import build_rotation, matrix_to_quaternion, no
 from splatam_tpu.data import get_dataset, load_dataset_config
 from splatam_tpu.eval.evaluate import eval_sequence
 from splatam_tpu.io.params_io import save_params, save_params_ckpt
-from splatam_tpu.render.api import RenderConfig
+from splatam_tpu.render.api import RenderConfig, split_overflow
 from splatam_tpu.slam import optim, steps
 from splatam_tpu.slam.config import backfill_defaults
 from splatam_tpu.slam.keyframes import keyframe_selection_overlap
@@ -60,13 +61,33 @@ def _prune_cfg(mapping: dict) -> steps.PruneConfig:
     )
 
 
-def _downscale_camera(cam: Camera, factor: int) -> Camera:
-    """Camera for the stride-`factor` subsample of the image (coarse-to-fine
-    tracking): coarse pixel (i, j) is full pixel (i*factor, j*factor), so
-    the principal point maps through the renderer's half-pixel convention
-    (ndc2Pix: u = fx X/Z + cx - 0.5) as cx_c = (cx - 0.5)/f + 0.5 — with
-    that, u_coarse == u_full / f exactly and the coarse optimum is the
-    full-res optimum."""
+def _downscale_camera(cam: Camera, factor: int, pool: bool = False) -> Camera:
+    """Camera for the factor-`factor` downsample of the image (coarse-to-fine
+    tracking), through the renderer's half-pixel convention (ndc2Pix:
+    u = fx X/Z + cx - 0.5).
+
+    pool=False (stride): coarse pixel (i, j) IS full pixel (i*factor,
+    j*factor), so cx_c = (cx - 0.5)/f + 0.5 and u_coarse == u_full / f
+    exactly — but the strided target keeps full-res aliasing while the
+    render at the coarse camera carries the EWA +0.3 coarse-px^2 dilation,
+    a blur mismatch that biases the coarse pose optimum.
+
+    pool=True (average pooling, _pool_target): coarse pixel (i, j) is the
+    MEAN of the f x f full-pixel block starting at (i*f, j*f), centered at
+    full pixel i*f + (f-1)/2, so cx_c = (cx - 0.5 - (f-1)/2)/f + 0.5 and
+    the image is cropped to the largest f-divisible extent (floor-div
+    dims). The box-filtered target carries blur in the same direction as
+    the renderer's dilation, removing most of the stride bias."""
+    if pool:
+        half = (factor - 1) / 2.0
+        return cam._replace(
+            height=cam.height // factor,
+            width=cam.width // factor,
+            fx=cam.fx / factor,
+            fy=cam.fy / factor,
+            cx=(cam.cx - 0.5 - half) / factor + 0.5,
+            cy=(cam.cy - 0.5 - half) / factor + 0.5,
+        )
     return cam._replace(
         height=-(-cam.height // factor),
         width=-(-cam.width // factor),
@@ -75,6 +96,32 @@ def _downscale_camera(cam: Camera, factor: int) -> Camera:
         cx=(cam.cx - 0.5) / factor + 0.5,
         cy=(cam.cy - 0.5) / factor + 0.5,
     )
+
+
+def _pool_target(color, depth, factor: int):
+    """Mask-aware factor x factor average pooling of a tracking target.
+
+    Color: plain block mean (matches alpha-blended render semantics under
+    the coarse camera's wider low-pass). Depth: mean over VALID (> 0)
+    pixels only — depth 0 marks holes, and blending holes into a block
+    mean would fabricate phantom geometry; a block with no valid pixel
+    stays 0 (masked out of the tracking loss, core/losses.py)."""
+    h, w = depth.shape
+    hc, wc = h // factor, w // factor
+    c = color[:, : hc * factor, : wc * factor]
+    c = c.reshape(3, hc, factor, wc, factor).mean(axis=(2, 4))
+    d = depth[: hc * factor, : wc * factor].reshape(hc, factor, wc, factor)
+    valid = (d > 0).astype(d.dtype)
+    cnt = valid.sum(axis=(1, 3))
+    dsum = (d * valid).sum(axis=(1, 3))
+    d = jnp.where(cnt > 0, dsum / jnp.maximum(cnt, 1.0), 0.0)
+    return c, d
+
+
+# render.binning packs per-gaussian pair offsets into the low 23 bits of an
+# int32 (offset | rect_w << 23), so every pair_cap anywhere in the pipeline
+# must stay strictly below 2^23. Kept 2^17-aligned (the pair granularity).
+PAIR_CAP_HARD_LIMIT = (1 << 23) - (1 << 17)
 
 
 def _next_pow2_int(n: int) -> int:
@@ -199,6 +246,10 @@ class SLAMRuntime:
         # keyframe per phase chunk. 1 = exact per-iteration binning.
         self.rebin_every = int(tpu.get("rebin_every", 1))
         self.pair_margin = 2.0  # pairs per live gaussian; grows on overflow
+        # Per-tile-grid tile_k_max growth (tiles backend): {num_tiles: k}.
+        # Keyed by grid size because a value big enough for a 6-tile coarse
+        # level would be a memory blowup at the full-res grid.
+        self._tile_k_grown: dict[int, int] = {}
         # Live tracking-loss window state (_save_tracking_loss_viz).
         self._viz_fig = None
         self._viz_live_failed = False
@@ -327,7 +378,52 @@ class SLAMRuntime:
             b = ((b * 3 // 2) + 4095) & ~4095  # 1.5x, 4096-aligned
         return min(b, self.gm.capacity)
 
-    def _phase_rcfg(self, bucket: int, n_active: int | None = None) -> RenderConfig:
+    def _tile_k_for(self, cam: Camera, pair_cap: int) -> int:
+        """tile_k_max for a phase rendering through `cam` (XLA tiles backend
+        per-tile list capacity; the pallas backend ignores it).
+
+        Small tile grids — coarse-to-fine tracking levels — concentrate the
+        same pair population onto few tiles, so per-tile lists must grow as
+        the grid shrinks: scale the configured cap by the tile-count ratio
+        vs the full mapping grid (total list capacity ~invariant). On list
+        overflow _grow_tile_k doubles the grid's entry; a tile's true length
+        is bounded by n_pairs <= pair_cap, so growth converges."""
+        from splatam_tpu.render import binning
+
+        gx, gy = binning.grid_shape(cam.width, cam.height)
+        t = gx * gy
+        fgx, fgy = binning.grid_shape(self.cam.width, self.cam.height)
+        scale = max(1, (fgx * fgy) // t)
+        k = max(int(self.rcfg.tile_k_max) * scale, self._tile_k_grown.get(t, 0))
+        return min(k, pair_cap)
+
+    def _grow_tile_k(self, cam: Camera, rcfg: RenderConfig, phase: str) -> bool:
+        """Double `cam`'s grid's tile_k_max after the tiles backend reported
+        per-tile list truncation (render.api.split_overflow list flag) —
+        growing pair_cap can never clear that, see api.LIST_OVERFLOW_FLAG.
+        Returns False once tile_k_max == pair_cap (truncation impossible,
+        flag would indicate a bug)."""
+        from splatam_tpu.render import binning
+
+        gx, gy = binning.grid_shape(cam.width, cam.height)
+        t = gx * gy
+        cur = int(rcfg.tile_k_max)
+        if cur >= rcfg.pair_cap:
+            print(
+                f"[splatam-tpu] WARNING: {phase} tile-list overflow with"
+                f" tile_k_max == pair_cap ({cur}) — cannot grow further"
+            )
+            return False
+        new = min(2 * cur, rcfg.pair_cap)
+        self._tile_k_grown[t] = max(self._tile_k_grown.get(t, 0), new)
+        print(
+            f"[splatam-tpu] {phase} tile-list overflow at the {t}-tile grid"
+            f" — growing tile_k_max {cur} -> {new} and retrying"
+        )
+        return True
+
+    def _phase_rcfg(self, bucket: int, n_active: int | None = None,
+                    cam: Camera | None = None) -> RenderConfig:
         # Pair buffers scale with the BUCKET (not the live count): pair_cap
         # is a pure function of the bucket rung, so the bucket ladder is
         # the ONLY compile-shape ladder. A live-count-proportional pair cap
@@ -366,11 +462,15 @@ class SLAMRuntime:
         ceil_cap = int(self.config["tpu"]["pair_cap"])
         if n_sh > 1:
             ceil_cap = max(int(ceil_cap * 1.3) // n_sh, floor)
-        pair_cap = max(floor, min(budget, ceil_cap))
+        # The binning packs pair offsets into 23 bits (offset|rect_w), so
+        # pair_cap must stay strictly below 2^23 no matter how the margin
+        # or the ceiling grew.
+        pair_cap = max(floor, min(budget, ceil_cap, PAIR_CAP_HARD_LIMIT))
         return RenderConfig(
             backend=self.rcfg.backend,
             pair_cap=pair_cap,
-            tile_k_max=self.rcfg.tile_k_max,
+            tile_k_max=self._tile_k_for(cam if cam is not None else self.cam,
+                                        pair_cap),
             direct_j=direct_j,
             tile_cull=bool(self.config["tpu"].get("tile_cull", False)),
         )
@@ -397,7 +497,7 @@ class SLAMRuntime:
             cur_cap = int(cur_cap * n_sh / 1.3)
         tpu = self.config["tpu"]
         ceiling = int(tpu["pair_cap"])
-        hard_max = int(tpu.get("pair_cap_max", 1 << 23))
+        hard_max = min(int(tpu.get("pair_cap_max", 1 << 23)), PAIR_CAP_HARD_LIMIT)
         if cur_cap >= hard_max:
             print(
                 f"[splatam-tpu] WARNING: {phase} dropped {ovf} pairs at the"
@@ -509,6 +609,11 @@ class SLAMRuntime:
         lr_t = float(cfg_t["lrs"]["cam_trans"])
 
         def _t_prog(cam, num_iters, final: bool):
+            # Per-camera tile_k (coarse c2f grids scale it, _tile_k_for) so
+            # the precompiled program key matches what track_frame builds.
+            rcfg_cam = dataclasses.replace(
+                rcfg, tile_k_max=self._tile_k_for(cam, rcfg.pair_cap)
+            )
             args = (
                 gm_s,
                 sds((4,), f32),
@@ -522,7 +627,7 @@ class SLAMRuntime:
                 lr_q,
                 lr_t,
                 self.pcfg_track,
-                rcfg,
+                rcfg_cam,
             )
             kwargs = dict(mesh=self.mesh, rebin_every=self.rebin_every)
             if final:
@@ -530,7 +635,8 @@ class SLAMRuntime:
             return args, kwargs
 
         t_progs = [
-            _t_prog(_downscale_camera(tc, f), n, False) for f, n in levels
+            _t_prog(_downscale_camera(tc, f, pool=self._c2f_pool()), n, False)
+            for f, n in levels
         ] + [_t_prog(tc, full_iters, True)]
 
         cfg_m = self.config["mapping"]
@@ -760,6 +866,10 @@ class SLAMRuntime:
             return []
         return [(int(f), int(n)) for f, n in c2f.get("levels", []) if int(n) > 0]
 
+    def _c2f_pool(self) -> bool:
+        c2f = self.config["tracking"].get("coarse_to_fine") or {}
+        return c2f.get("downsample", "pool") != "stride"
+
     def track_frame(self, time_idx: int, tr_color, tr_depth) -> None:
         cfg_t = self.config["tracking"]
         n_active = int(self.gm.num_active())
@@ -775,21 +885,29 @@ class SLAMRuntime:
             # Keep the total iteration budget: coarse iters come out of
             # num_iters (c2f_extra_iters=True runs them on top instead).
             full_iters = max(full_iters - sum(n for _, n in levels), 1)
-        for _attempt in range(4):
-            rcfg = self._phase_rcfg(bucket, n_active)
+        for _attempt in range(6):
+            rcfg = self._phase_rcfg(bucket, n_active, cam=self.tracking_cam)
             self._join_inflight(rcfg.pair_cap, bucket)
             q_lv, t_lv = q0, t0
             coarse_hists: list = []
             coarse_iters = 0
             ovf_coarse = 0
+            retry = False
             for factor, n_it in levels:
-                cam_c = _downscale_camera(self.tracking_cam, factor)
+                pool = self._c2f_pool()
+                cam_c = _downscale_camera(self.tracking_cam, factor, pool=pool)
+                rcfg_c = self._phase_rcfg(bucket, n_active, cam=cam_c)
+                if pool:
+                    col_c, dep_c = _pool_target(tr_color, tr_depth, factor)
+                else:
+                    col_c = tr_color[:, ::factor, ::factor]
+                    dep_c = tr_depth[::factor, ::factor]
                 q_lv, t_lv, it_c, _loss_c, ovf_c, hist_c = steps.tracking_phase(
                     gm_view,
                     q_lv,
                     t_lv,
-                    tr_color[:, ::factor, ::factor],
-                    tr_depth[::factor, ::factor],
+                    col_c,
+                    dep_c,
                     cam_c,
                     n_it,
                     False,  # depth_loss_thres extension: full-res level only
@@ -797,13 +915,19 @@ class SLAMRuntime:
                     lr_q,
                     lr_t,
                     self.pcfg_track,
-                    rcfg,
+                    rcfg_c,
                     mesh=self.mesh,
                     rebin_every=self.rebin_every,
                 )
-                ovf_coarse = max(ovf_coarse, int(ovf_c))
+                povf_c, lovf_c = split_overflow(ovf_c)
+                if lovf_c and self._grow_tile_k(cam_c, rcfg_c, "tracking(c2f)"):
+                    retry = True
+                    break
+                ovf_coarse = max(ovf_coarse, povf_c)
                 coarse_iters += int(it_c)
                 coarse_hists.append(np.asarray(hist_c)[: int(it_c)])
+            if retry:
+                continue
             best_q, best_t, iters, _loss, ovf, hist = steps.tracking_phase(
                 gm_view,
                 q_lv,
@@ -822,7 +946,10 @@ class SLAMRuntime:
                 rebin_every=self.rebin_every,
                 lr_decay_frac=float(cfg_t.get("lr_decay_frac", 1.0)),
             )
-            ovf_total = max(ovf_coarse, int(ovf))
+            povf, lovf = split_overflow(ovf)
+            if lovf and self._grow_tile_k(self.tracking_cam, rcfg, "tracking"):
+                continue
+            ovf_total = max(ovf_coarse, povf)
             if ovf_total == 0 or not self._bump_pair_margin(
                 n_active, ovf_total, rcfg.pair_cap, "tracking"
             ):
@@ -843,7 +970,8 @@ class SLAMRuntime:
         t = jnp.asarray(self.cam_trans[time_idx])
         while True:
             n_active = int(self.gm.num_active())
-            rcfg = self._phase_rcfg(self.gm.capacity, n_active)
+            rcfg = self._phase_rcfg(self.gm.capacity, n_active,
+                                    cam=self.densify_cam)
             self._join_inflight(rcfg.pair_cap)
             gm2, ts2, n_added, n_dropped, ovf = steps.densify_step(
                 self.gm,
@@ -858,8 +986,11 @@ class SLAMRuntime:
                 rcfg,
                 mesh=self.mesh,
             )
-            if int(ovf) > 0 and self._bump_pair_margin(
-                n_active, int(ovf), rcfg.pair_cap, "densify"
+            povf, lovf = split_overflow(ovf)
+            if lovf and self._grow_tile_k(self.densify_cam, rcfg, "densify"):
+                continue
+            if povf > 0 and self._bump_pair_margin(
+                n_active, povf, rcfg.pair_cap, "densify"
             ):
                 continue
             if int(n_dropped) > 0:
@@ -1002,8 +1133,11 @@ class SLAMRuntime:
                 gm2, _, _, _, ovf, hist = self._run_mapping_chunk(
                     gm_view, opt_state, gsvars, inputs, num_iters, 0, rcfg, lrs, False
                 )
-                if int(ovf) == 0 or not self._bump_pair_margin(
-                    n_active, int(ovf), rcfg.pair_cap, "mapping"
+                povf, lovf = split_overflow(ovf)
+                if lovf and self._grow_tile_k(self.cam, rcfg, "mapping"):
+                    pass
+                elif povf == 0 or not self._bump_pair_margin(
+                    n_active, povf, rcfg.pair_cap, "mapping"
                 ):
                     break
                 rcfg = self._phase_rcfg(bucket, n_active)
@@ -1032,8 +1166,11 @@ class SLAMRuntime:
                 gm2, opt2, gsv2, _, ovf, hist = self._run_mapping_chunk(
                     gm_view, opt_state, gsvars, inputs, n, it, rcfg, lrs, True
                 )
-                if int(ovf) == 0 or not self._bump_pair_margin(
-                    n_active, int(ovf), rcfg.pair_cap, "mapping"
+                povf, lovf = split_overflow(ovf)
+                if lovf and self._grow_tile_k(self.cam, rcfg, "mapping"):
+                    pass
+                elif povf == 0 or not self._bump_pair_margin(
+                    n_active, povf, rcfg.pair_cap, "mapping"
                 ):
                     break
                 rcfg = self._phase_rcfg(bucket, n_active)

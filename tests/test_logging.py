@@ -64,11 +64,15 @@ def test_phase_rcfg_scales_with_margin():
     from splatam_tpu.render.api import RenderConfig
     from splatam_tpu.slam.pipeline import SLAMRuntime
 
+    from splatam_tpu.core.camera import Camera
+
     rt = SLAMRuntime.__new__(SLAMRuntime)
     rt.config = {"tpu": {"pair_cap": 1 << 21}}
     rt.rcfg = RenderConfig(backend="tiles", pair_cap=1 << 21, tile_k_max=512)
     rt.pair_margin = 2.0
     rt.mesh = None
+    rt.cam = Camera(height=340, width=600, fx=300.0, fy=300.0, cx=300.0, cy=170.0)
+    rt._tile_k_grown = {}
     base = rt._phase_rcfg(1 << 18, 200_000).pair_cap
     rt.pair_margin = 4.0
     assert rt._phase_rcfg(1 << 18, 200_000).pair_cap > base
