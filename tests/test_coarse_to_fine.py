@@ -79,3 +79,44 @@ def test_slam_tracking_coarse_to_fine(tmp_path):
     metrics = rgbd_slam(config)
     assert metrics["psnr"] > 18.0, metrics
     assert metrics["ate_rmse"] < 0.05, metrics
+
+
+@pytest.mark.parametrize("factor", [2, 4])
+def test_downscale_camera_pool_center_mapping(factor):
+    """Pooled convention: coarse pixel i is the MEAN of full pixels
+    [i*f, (i+1)*f), centered at i*f + (f-1)/2, so a splat at full pixel u
+    lands at coarse pixel (u - (f-1)/2) / f."""
+    cam = Camera(height=120, width=160, fx=140.0, fy=140.0, cx=81.3, cy=59.2)
+    cam_c = _downscale_camera(cam, factor, pool=True)
+    assert cam_c.height == cam.height // factor
+    assert cam_c.width == cam.width // factor
+
+    rng = np.random.default_rng(1)
+    pts = np.stack(
+        [rng.uniform(-0.5, 0.5, 32), rng.uniform(-0.4, 0.4, 32),
+         rng.uniform(1.0, 4.0, 32)], -1
+    ).astype(np.float32)
+    xy_full = _project_xy(cam, pts)
+    xy_coarse = _project_xy(cam_c, pts)
+    half = (factor - 1) / 2.0
+    np.testing.assert_allclose(xy_coarse, (xy_full - half) / factor, atol=1e-4)
+
+
+def test_pool_target_mask_aware():
+    from splatam_tpu.slam.pipeline import _pool_target
+
+    color = jnp.arange(3 * 8 * 8, dtype=jnp.float32).reshape(3, 8, 8) / 100.0
+    depth = jnp.ones((8, 8), jnp.float32) * 2.0
+    depth = depth.at[0, 0].set(0.0)  # hole in the top-left 2x2 block
+    depth = depth.at[2:4, 2:4].set(0.0)  # fully-invalid block
+    c, d = _pool_target(color, depth, 2)
+    assert c.shape == (3, 4, 4) and d.shape == (4, 4)
+    # plain block mean for color
+    np.testing.assert_allclose(
+        np.asarray(c[0, 0, 0]),
+        np.asarray(color[0, :2, :2]).mean(), rtol=1e-6)
+    # hole block: mean over the 3 valid pixels only
+    np.testing.assert_allclose(float(d[0, 0]), 2.0, rtol=1e-6)
+    # fully-invalid block stays 0 (masked out of the loss)
+    assert float(d[1, 1]) == 0.0
+    np.testing.assert_allclose(float(d[3, 3]), 2.0, rtol=1e-6)
