@@ -40,8 +40,13 @@ def main():
     from splatam_tpu.slam.config import load_experiment_config, seed_everything
     from splatam_tpu.slam.pipeline import SLAMRuntime, rgbd_slam
 
-    height = int(os.environ.get("BENCH_H", 340))
-    width = int(os.environ.get("BENCH_W", 600))
+    # Default resolution = the reference's Replica benchmark resolution
+    # (1200x680, /root/reference/configs/data/replica.yaml +
+    # configs/replica/splatam.py:52-53), so vs_baseline is an
+    # apples-to-apples comparison against its ~2.5 s/frame. BENCH_H/W=340/600
+    # reproduces the half-res number tracked in docs/PERFORMANCE.md.
+    height = int(os.environ.get("BENCH_H", 680))
+    width = int(os.environ.get("BENCH_W", 1200))
     frames = int(os.environ.get("BENCH_FRAMES", 12))
     warmup = int(os.environ.get("BENCH_WARMUP", 3))
 
