@@ -88,6 +88,7 @@ def main():
 
     rt = SLAMRuntime(config)
     frame_times = []
+    all_frame_times = []
     for time_idx in range(rt.num_frames):
         color_np, depth_np, _, gt_pose = rt.dataset[time_idx]
         gt_w2c = np.linalg.inv(gt_pose)
@@ -148,17 +149,33 @@ def main():
 
         print(f"frame {time_idx}: {dt:.3f}s  (n_gauss={int(rt.gm.num_active())})",
               file=sys.stderr)
+        all_frame_times.append(dt)
         if time_idx >= warmup:
             frame_times.append(dt)
 
     # Median excludes jit-compile spikes on frames that hit a new capacity
-    # bucket; steady-state per-frame time is the comparable quantity.
+    # bucket; steady-state per-frame time is the comparable quantity. The
+    # JSON is self-describing: aggregation/warmup/rebin_every state exactly
+    # what was measured, and frame0_s / max_frame_s expose the cold-start
+    # and worst-case (compile-stall) frames the median hides.
     per_frame = float(np.median(frame_times))
+    rebin = int(config["tpu"]["rebin_every"])
     result = {
-        "metric": f"per-frame track+map seconds (synthetic {width}x{height}, 40 track + 60 map iters)",
+        "metric": (
+            f"per-frame track+map seconds (synthetic {width}x{height}, "
+            f"40 track + 60 map iters, rebin_every={rebin}, "
+            f"median of frames {warmup}..{frames - 1})"
+        ),
         "value": round(per_frame, 4),
         "unit": "s/frame",
         "vs_baseline": round(REFERENCE_FRAME_SECONDS / per_frame, 3),
+        "aggregation": "median",
+        "warmup_frames": warmup,
+        "rebin_every": rebin,
+        "frame0_s": round(all_frame_times[0], 3) if all_frame_times else None,
+        "max_frame_s": round(max(all_frame_times[1:]), 3)
+        if len(all_frame_times) > 1 else None,
+        "n_gaussians_final": int(rt.gm.num_active()),
     }
     print(json.dumps(result))
 

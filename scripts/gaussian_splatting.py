@@ -129,7 +129,7 @@ def offline_splatting(config: dict) -> dict:
         if time_idx > 0:
             color, depth = _frame_to_device(color_np, depth_np)
             while True:
-                gm2, ts2, _, n_dropped, _ = steps.densify_step(
+                gm2, ts2, _, n_dropped, _, _ = steps.densify_step(
                     gm, timestep, color, depth,
                     jnp.asarray(cam_rots[time_idx]), jnp.asarray(cam_trans[time_idx]),
                     jnp.int32(time_idx), cam, float(train["sil_thres"]), rcfg,

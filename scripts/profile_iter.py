@@ -134,7 +134,7 @@ def run_stages(args, gm, cam, rcfg, q, t, color, depth_gt):
 
     def gather_fn(xy):
         rows = CP._pack_attrs_rows(xy, proj.conic, proj.opacity, channels)
-        return rows[ps.pad_gauss].T
+        return CP._split_row_gather(rows, ps.pad_gauss).T
 
     padded16 = jax.jit(gather_fn)(proj.xy)
     timed_loop("attr gather + transpose", gather_fn, proj.xy)
@@ -154,11 +154,11 @@ def run_stages(args, gm, cam, rcfg, q, t, color, depth_gt):
 
     timed_loop(
         "grouped grad gather",
-        lambda d: d.T.at[ps.dst_sorted].get(mode="fill", fill_value=0.0).T,
+        lambda d: CP._split_row_gather(d.T, ps.dst_sorted).T,
         dattrs,
     )
     grads_grouped = jax.jit(
-        lambda d: d.T.at[ps.dst_sorted].get(mode="fill", fill_value=0.0).T
+        lambda d: CP._split_row_gather(d.T, ps.dst_sorted).T
     )(dattrs)
     timed_loop(
         "pallas segment scan",
@@ -177,11 +177,26 @@ def run_stages(args, gm, cam, rcfg, q, t, color, depth_gt):
     def extract_fn(s):
         return jnp.where(
             ps.bins.in_stream[:, None],
-            s.T.at[end_slot].get(mode="fill", fill_value=0.0),
+            CP._split_row_gather(s.T, end_slot),
             0.0,
         )
 
     timed_loop("end-slot totals extract", extract_fn, scanned0)
+
+    def map_fwd_only(m):
+        g2 = gm._replace(means3d=m)
+        loss, _ = steps.get_loss(
+            g2, q, t, color, depth_gt, cam,
+            steps.PhaseConfig(
+                use_sil_for_loss=False, sil_thres=0.5, use_l1=True,
+                ignore_outlier_depth_loss=False, w_im=0.5, w_depth=1.0,
+            ),
+            rcfg, False, True, pair_structure=ps,
+        )
+        return loss
+
+    timed_loop("mapping get_loss fwd ONLY (reused ps)", map_fwd_only,
+               gm.means3d, K=10)
 
     pcfg = steps.PhaseConfig(
         use_sil_for_loss=True, sil_thres=0.99, use_l1=True,

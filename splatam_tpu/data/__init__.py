@@ -48,6 +48,7 @@ def get_dataset(config_dict, basedir, sequence, **kwargs):
             "seed": config_dict.get("synthetic_seed", 0),
             "motion_scale": config_dict.get("motion_scale", 1.0),
             "depth_noise_sigma": config_dict.get("depth_noise_sigma", 0.0),
+            "trajectory": config_dict.get("trajectory", "pan"),
         }
         return SyntheticDataset(**synth_kwargs)
     else:

@@ -114,10 +114,20 @@ class SyntheticDataset:
         seed: int = 0,
         relative_pose: bool = True,
         depth_noise_sigma: float = 0.0,
+        trajectory: str = "pan",
     ):
         """depth_noise_sigma > 0 adds per-pixel gaussian depth noise scaled
         by depth (sigma in meters at 1 m — TUM-like sensor behavior),
-        deterministic per (seed, frame)."""
+        deterministic per (seed, frame).
+
+        trajectory: "pan" (default) is the historical monotone sweep — it
+        never revisits a view, so yaw drift integrates for the whole run.
+        "loop" sweeps out at the SAME per-frame angular rate for ~55% of
+        the frames and then retraces back over already-mapped views
+        (Replica-room0-like back-and-forth scanning): the return leg
+        re-localizes against map regions built with less accumulated
+        drift, which is the revisit/drift-cancellation regime the pan
+        by construction cannot probe."""
         self.num_imgs = num_frames
         self.desired_height = height
         self.desired_width = width
@@ -131,7 +141,21 @@ class SyntheticDataset:
 
         rng = np.random.default_rng(seed)
         self._phase = rng.uniform(0, 2 * np.pi)
-        angles = np.linspace(0, 0.35 * motion_scale, num_frames) + self._phase
+        if trajectory == "loop":
+            # Triangular out-and-back at the pan's exact per-frame rate
+            # (same tracking difficulty per frame; the apex has a one-frame
+            # velocity reversal that the constant-velocity init mispredicts,
+            # like a real hand-held turn-around).
+            rate = 0.35 * motion_scale / max(num_frames - 1, 1)
+            apex = max(int(round(0.55 * (num_frames - 1))), 1)
+            steps = np.concatenate(
+                [np.arange(apex + 1), apex - np.arange(1, num_frames - apex)]
+            ).astype(np.float64)
+            angles = steps * rate + self._phase
+        elif trajectory == "pan":
+            angles = np.linspace(0, 0.35 * motion_scale, num_frames) + self._phase
+        else:
+            raise ValueError(f"unknown synthetic trajectory {trajectory!r}")
         radius = 0.8
         self.poses = []
         for i, a in enumerate(angles):

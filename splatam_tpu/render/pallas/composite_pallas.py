@@ -630,21 +630,27 @@ def segment_reduce_scan_pallas(grads_grouped, gid_grouped):
 # 23.6 ns/idx vs 5.9 ns/idx for the same rows split into [2.77M,8] halves;
 # the cliff follows ELEMENT COUNT — f16 at the same element count is just
 # as slow, and the column-split halves overlap so 2x8 costs ~1x8). Split
-# any wide row gather whose table crosses the threshold.
-_GATHER_SPLIT_ELEMS = 1 << 24
+# any wide row gather whose table crosses the threshold. 2^23 (not the
+# cliff's ~2^24.5) because pieces sitting just UNDER the cliff still pay
+# ~12% (round-4 measurement: 4x4-col beats 2x8-col 9.3 vs 10.5 ms at
+# 1.98M rows).
+_GATHER_SPLIT_ELEMS = 1 << 23
 
 
 def _split_row_gather(table_rows, idx):
     """table_rows [R, W] gathered at idx -> [len(idx), W], column-split
-    when R*W crosses the slow-gather cliff."""
+    RECURSIVELY while the table operand sits above the slow-gather cliff
+    (measured round 4 at 1.98M x 16: unsplit 39 ms, halves 10.5 ms,
+    quarters 9.3 ms — the cliff follows element count, not index
+    locality, so each half just under the threshold still pays ~12%)."""
     r, w = table_rows.shape
     if r * w <= _GATHER_SPLIT_ELEMS or w < 2:
         return table_rows.at[idx].get(mode="fill", fill_value=0.0)
     h = w // 2
     return jnp.concatenate(
         [
-            table_rows[:, :h].at[idx].get(mode="fill", fill_value=0.0),
-            table_rows[:, h:].at[idx].get(mode="fill", fill_value=0.0),
+            _split_row_gather(table_rows[:, :h], idx),
+            _split_row_gather(table_rows[:, h:], idx),
         ],
         axis=1,
     )

@@ -11,7 +11,6 @@ re-architecture documented in SURVEY.md section 7:
 """
 from __future__ import annotations
 
-import dataclasses
 import os
 import time
 
@@ -123,6 +122,31 @@ def _pool_target(color, depth, factor: int):
 # must stay strictly below 2^23. Kept 2^17-aligned (the pair granularity).
 PAIR_CAP_HARD_LIMIT = (1 << 23) - (1 << 17)
 
+# Measured-count pair budget headroom: the pair buffers are sized to the
+# largest OBSERVED pair count times this, instead of bucket * margin (the
+# round-3 scheme whose measured overshoot was ~1.8x — pair-row-bound stages
+# are ~60% of a mapping iteration, so the padding was pure waste).
+PAIR_HEADROOM = 1.25
+
+
+def _next_pair_rung(target: float, floor: int) -> int:
+    """Smallest ladder value >= target on the {2^k, 1.5*2^k} ladder starting
+    at `floor` (a power of two >= 2^13). Two rungs per octave keeps the
+    compile-shape ladder short — the shape-storm failure mode documented at
+    _phase_rcfg is a BUDGET KEYED TO A CONTINUOUS QUANTITY; the ladder is
+    the quantization that prevents it. Every rung is a multiple of 2^12
+    (Pallas segment scan needs pair_cap % 128 == 0)."""
+    v = int(floor)
+    while v < target:
+        # 2^k -> 1.5*2^k -> 2^(k+1): 1.5*2^k = 3*2^(k-1) is divisible by 3.
+        v = v + (v >> 1) if (v & (v - 1)) == 0 else (v // 3) * 4
+    return v
+
+
+def _pair_rung_down(v: int) -> int:
+    """One ladder rung below v (inverse of _next_pair_rung's step)."""
+    return (v // 4) * 3 if (v & (v - 1)) == 0 else (v // 3) * 2
+
 
 def _next_pow2_int(n: int) -> int:
     p = 1
@@ -167,7 +191,8 @@ def _make_datasets(config):
         gradslam_data_cfg = load_dataset_config(dataset_config["gradslam_data_cfg"])
     if "synthetic" in gradslam_data_cfg.get("dataset_name", "").lower():
         gradslam_data_cfg.setdefault("num_frames", dataset_config.get("num_frames", 30))
-        for knob in ("motion_scale", "depth_noise_sigma", "synthetic_seed"):
+        for knob in ("motion_scale", "depth_noise_sigma", "synthetic_seed",
+                     "trajectory"):
             if knob in dataset_config:
                 gradslam_data_cfg.setdefault(knob, dataset_config[knob])
 
@@ -246,6 +271,19 @@ class SLAMRuntime:
         # keyframe per phase chunk. 1 = exact per-iteration binning.
         self.rebin_every = int(tpu.get("rebin_every", 1))
         self.pair_margin = 2.0  # pairs per live gaussian; grows on overflow
+        # Measured-count pair budget (see _phase_rcfg): per-tile-grid
+        # decaying max of OBSERVED pair counts (phases return their max
+        # n_pairs), the ladder rung currently granted per grid (shrink
+        # hysteresis), and a decaying-max per-frame pair growth estimate
+        # for the async precompiler's crossing prediction. Disable with
+        # tpu.measured_pair_budget=False (margin-based sizing, the round-3
+        # behavior) — kept as a flag because the margin path is also the
+        # fallback under a mesh and for never-observed grids.
+        self.measured_pair_budget = bool(tpu.get("measured_pair_budget", True))
+        self._pairs_seen: dict[int, float] = {}
+        self._pair_rung_used: dict[int, int] = {}
+        self._pairs_growth = 0.0
+        self._pairs_last = 0.0
         # Per-tile-grid tile_k_max growth (tiles backend): {num_tiles: k}.
         # Keyed by grid size because a value big enough for a 6-tile coarse
         # level would be a memory blowup at the full-res grid.
@@ -346,6 +384,23 @@ class SLAMRuntime:
         bucket0 = self._bucket(n_active)
         if bucket0 <= (1 << 16):
             return  # small-bucket compiles are seconds (see _maybe_precompile)
+        # Seed the measured-count pair budget BEFORE the first phase
+        # compiles: the cheap projection-only probe (steps.count_pairs)
+        # observes the frame-0 map's actual pair population per camera
+        # grid, so the initial background compiles land on the measured
+        # rung directly instead of compiling margin-sized programs that a
+        # frame-1 re-budget would immediately invalidate.
+        if self.measured_pair_budget and self.mesh is None:
+            gm_view, _ = G.slice_prefix(self.gm, self.timestep, bucket0)
+            q0 = jnp.asarray(self.cam_rots[0])
+            t0 = jnp.asarray(self.cam_trans[0])
+            seen_grids = set()
+            for cam in (self.cam, self.tracking_cam, self.densify_cam):
+                g = self._grid_key(cam)
+                if g in seen_grids:
+                    continue
+                seen_grids.add(g)
+                self.observe_pairs(cam, steps.count_pairs(gm_view, q0, t0, cam))
         rcfg0 = self._phase_rcfg(bucket0, n_active)
         key = (bucket0, rcfg0.pair_cap)
         if key in self._precompiled:
@@ -422,8 +477,32 @@ class SLAMRuntime:
         )
         return True
 
+    def _grid_key(self, cam: Camera) -> int:
+        from splatam_tpu.render import binning
+
+        gx, gy = binning.grid_shape(cam.width, cam.height)
+        return gx * gy
+
+    def observe_pairs(self, cam: Camera, n_pairs) -> None:
+        """Record a phase's max actual (gaussian, tile) pair count for the
+        measured-count pair budget. Called by the phase drivers with the
+        n_pairs max each jitted program returns."""
+        n = int(n_pairs)
+        if n <= 0:
+            return
+        key = self._grid_key(cam)
+        self._pairs_seen[key] = max(float(n), self._pairs_seen.get(key, 0.0))
+
+    def _decay_pairs_seen(self) -> None:
+        """Once per frame: let the observed-pairs max decay slowly so the
+        budget can follow a shrinking map (pruning); the ladder's 2-rung
+        shrink hysteresis in _phase_rcfg keeps this from flapping shapes."""
+        for k in self._pairs_seen:
+            self._pairs_seen[k] *= 0.97
+
     def _phase_rcfg(self, bucket: int, n_active: int | None = None,
-                    cam: Camera | None = None) -> RenderConfig:
+                    cam: Camera | None = None,
+                    pairs_hint: float | None = None) -> RenderConfig:
         # Pair buffers scale with the BUCKET (not the live count): pair_cap
         # is a pure function of the bucket rung, so the bucket ladder is
         # the ONLY compile-shape ladder. A live-count-proportional pair cap
@@ -462,6 +541,33 @@ class SLAMRuntime:
         ceil_cap = int(self.config["tpu"]["pair_cap"])
         if n_sh > 1:
             ceil_cap = max(int(ceil_cap * 1.3) // n_sh, floor)
+        # Measured-count pair budget (round 4): once a phase has OBSERVED
+        # this grid's actual pair count, size the buffers to seen *
+        # PAIR_HEADROOM quantized UP onto the {2^k, 1.5*2^k} ladder, instead
+        # of bucket * margin (measured ~1.8x overshoot: ~1.65x bucket/
+        # n_active slack times ~1.08x margin/actual-ppg slack). The ladder —
+        # NOT raw n_pairs — is what keeps this off the documented
+        # shape-storm failure mode (see the comment above): at a known
+        # growth rate there is at most ~one extra compile-shape crossing
+        # per bucket rung, which _maybe_precompile predicts. Shrinks apply
+        # only >= 2 rungs below the granted rung (hysteresis against
+        # decay/pruning flapping). Margin-based sizing remains the ceiling,
+        # the fallback for never-observed grids, and the only path under a
+        # mesh (per-shard observed maxima are not plumbed).
+        measured = 0.0
+        grid = self._grid_key(cam if cam is not None else self.cam)
+        if self.measured_pair_budget and n_sh == 1 and direct_j == 0:
+            measured = (pairs_hint if pairs_hint is not None
+                        else self._pairs_seen.get(grid, 0.0))
+        if measured > 0.0:
+            rung = _next_pair_rung(measured * PAIR_HEADROOM, floor)
+            prev = self._pair_rung_used.get(grid, 0)
+            if prev and rung < prev:
+                if rung > _pair_rung_down(_pair_rung_down(prev)):
+                    rung = prev
+            if pairs_hint is None:
+                self._pair_rung_used[grid] = rung
+            budget = min(rung, budget)
         # The binning packs pair offsets into 23 bits (offset|rect_w), so
         # pair_cap must stay strictly below 2^23 no matter how the margin
         # or the ceiling grew.
@@ -476,7 +582,7 @@ class SLAMRuntime:
         )
 
     def _bump_pair_margin(self, n_active: int, ovf: int, cur_cap: int,
-                          phase: str) -> bool:
+                          phase: str, cam: Camera | None = None) -> bool:
         """Grow the pairs-per-gaussian margin after an overflow so the
         retried phase (and all later frames) get big enough buffers.
 
@@ -513,6 +619,12 @@ class SLAMRuntime:
         self.pair_margin = max(
             self.pair_margin * 1.5, needed * 1.15 / max(n_active, 1)
         )
+        # Teach the measured budget about the shortfall too: the retried
+        # phase must come back with a rung whose target exceeds `needed`.
+        key = self._grid_key(cam if cam is not None else self.cam)
+        self._pairs_seen[key] = max(
+            self._pairs_seen.get(key, 0.0), needed * 1.02 / PAIR_HEADROOM
+        )
         print(
             f"[splatam-tpu] {phase} pair overflow ({ovf} dropped) — growing"
             f" pair margin to {self.pair_margin:.2f} pairs/gaussian and"
@@ -538,45 +650,66 @@ class SLAMRuntime:
         first_call = self._last_n_active == 0
         growth = max(0, n_active - self._last_n_active)
         self._last_n_active = n_active
+        # Pair-count trajectory (mapping grid) for the pair-ladder leg of
+        # the prediction — decaying maxima like the gaussian growth.
+        pairs_now = self._pairs_seen.get(self._grid_key(self.cam), 0.0)
+        pgrowth = max(0.0, pairs_now - self._pairs_last)
+        self._pairs_last = pairs_now
         if first_call:
             return  # bootstrap jump (0 -> initial map) is not growth
         self._growth = max(growth, int(self._growth * 0.7))  # decaying max
+        self._pairs_growth = max(pgrowth, self._pairs_growth * 0.7)
         if self._growth == 0:
             return
-        # Target the NEXT ladder crossing exactly (a far-point prediction
-        # overshoots the pair ladder and compiles shapes that are never
-        # used). A full phase-set compile takes ~1-2 min of background wall
-        # time ≈ ~24 frames, so start once the crossing is within that
-        # horizon; the real call joins an in-flight compile rather than
-        # duplicating it if growth outruns the compile.
+        # Target the NEXT ladder crossings exactly (a far-point prediction
+        # overshoots and compiles shapes that are never used). Two ladders
+        # exist since the measured-count pair budget: the bucket rungs and,
+        # within a bucket, the pair rungs ({2^k, 1.5*2^k}). A full
+        # phase-set compile takes ~1-2 min of background wall time ≈ ~24
+        # frames, so start once a crossing is within that horizon; the real
+        # call joins an in-flight compile rather than duplicating it if
+        # growth outruns the compile.
         bucket_now = self._bucket(n_active)
         rcfg_now = self._phase_rcfg(bucket_now, n_active)
-        # pair_cap is a pure function of the bucket (see _phase_rcfg), so
-        # the next compile-shape crossing is exactly the next bucket rung.
+        horizon = 24
+        cands: list = []
+        # (a) next bucket-ladder crossing (predict the pair count there).
         n_cross = bucket_now + 1
-        if n_cross > min(n_active + 24 * self._growth, self.gm.capacity):
-            return
-        bucket_p = self._bucket(max(n_cross, n_active))
-        if bucket_p <= (1 << 16):
-            # Small-bucket compiles are seconds, not minutes — not worth
-            # the host CPU the background tracing/compiling steals from
-            # the frame loop (tiny CPU runs slowed ~20x when it ran).
-            return
-        rcfg_p = self._phase_rcfg(bucket_p, max(n_cross, n_active))
-        key = (bucket_p, rcfg_p.pair_cap)
-        if key == (bucket_now, rcfg_now.pair_cap) or key in self._precompiled:
-            return
-        self._precompiled.add(key)
+        if n_cross <= min(n_active + horizon * self._growth, self.gm.capacity):
+            bucket_p = self._bucket(max(n_cross, n_active))
+            frames_to = (n_cross - n_active) / max(self._growth, 1)
+            hint = (pairs_now + frames_to * self._pairs_growth
+                    if pairs_now > 0 else None)
+            cands.append((bucket_p, max(n_cross, n_active), hint))
+        # (b) next pair-rung crossing inside the CURRENT bucket.
+        if pairs_now > 0 and self._pairs_growth > 0:
+            trigger = rcfg_now.pair_cap / PAIR_HEADROOM
+            if pairs_now + horizon * self._pairs_growth > trigger:
+                cands.append((bucket_now, n_active, trigger * 1.02))
         import threading
 
-        packed = self._build_precompile_args(bucket_p, rcfg_p)
-        th = threading.Thread(
-            target=self._compile_phases,
-            args=(packed, key, self._inflight, self._precompiled),
-            daemon=True,
-        )
-        self._inflight[key] = th
-        th.start()
+        for bucket_p, n_p, hint in cands:
+            if bucket_p <= (1 << 16):
+                # Small-bucket compiles are seconds, not minutes — not
+                # worth the host CPU the background tracing/compiling
+                # steals from the frame loop (tiny CPU runs slowed ~20x).
+                continue
+            rcfg_p = self._phase_rcfg(bucket_p, n_p, pairs_hint=hint)
+            key = (bucket_p, rcfg_p.pair_cap)
+            if key == (bucket_now, rcfg_now.pair_cap) or key in self._precompiled:
+                continue
+            self._precompiled.add(key)
+            ratio = (hint / pairs_now) if (hint and pairs_now > 0) else 1.0
+            packed = self._build_precompile_args(
+                bucket_p, rcfg_p, pairs_ratio=ratio
+            )
+            th = threading.Thread(
+                target=self._compile_phases,
+                args=(packed, key, self._inflight, self._precompiled),
+                daemon=True,
+            )
+            self._inflight[key] = th
+            th.start()
 
     def _join_inflight(self, pair_cap: int, bucket: int | None = None) -> None:
         """If a background compile covering these shapes is still running,
@@ -590,10 +723,21 @@ class SLAMRuntime:
                 print(f"[splatam-tpu] waiting on in-flight precompile {key}")
                 th.join()
 
-    def _build_precompile_args(self, bucket: int, rcfg: RenderConfig):
+    def _build_precompile_args(self, bucket: int, rcfg: RenderConfig,
+                               pairs_ratio: float = 1.0):
         """ShapeDtypeStruct arg trees for both phase programs at (bucket,
-        rcfg) — built on the main thread so the worker never reads self."""
+        rcfg) — built on the main thread so the worker never reads self.
+
+        pairs_ratio scales each camera grid's observed pair count to the
+        predicted crossing point, so per-camera RenderConfigs (tracking /
+        densify grids) are budgeted the same way the live calls will budget
+        them when the crossing arrives."""
         sds = lambda shape, dtype: jax.ShapeDtypeStruct(shape, dtype)
+
+        def _cam_rcfg(cam: Camera, bucket_for: int) -> RenderConfig:
+            seen = self._pairs_seen.get(self._grid_key(cam), 0.0)
+            hint = seen * pairs_ratio if seen > 0 else None
+            return self._phase_rcfg(bucket_for, cam=cam, pairs_hint=hint)
         lead = lambda x: jax.ShapeDtypeStruct(
             (bucket,) + tuple(x.shape[1:]), x.dtype
         )
@@ -609,11 +753,10 @@ class SLAMRuntime:
         lr_t = float(cfg_t["lrs"]["cam_trans"])
 
         def _t_prog(cam, num_iters, final: bool):
-            # Per-camera tile_k (coarse c2f grids scale it, _tile_k_for) so
-            # the precompiled program key matches what track_frame builds.
-            rcfg_cam = dataclasses.replace(
-                rcfg, tile_k_max=self._tile_k_for(cam, rcfg.pair_cap)
-            )
+            # Per-camera budget + tile_k (coarse c2f grids scale tile_k,
+            # and the measured pair budget is per grid) so the precompiled
+            # program key matches what track_frame builds.
+            rcfg_cam = _cam_rcfg(cam, bucket)
             args = (
                 gm_s,
                 sds((4,), f32),
@@ -686,7 +829,12 @@ class SLAMRuntime:
 
         # densify_step runs on the FULL capacity buffers, so it recompiles
         # on pair-ladder steps too (measured 34 s inline at frame 7 of the
-        # bench without this).
+        # bench without this). Its RenderConfig is budgeted at bucket =
+        # capacity with the densify grid's own measured pairs — exactly how
+        # densify_frame builds it (the round-3 code passed the MAPPING
+        # bucket's rcfg here, which never matched once the two budgets
+        # diverged at full resolution, so every crossing recompiled densify
+        # inline anyway).
         cap = self.gm.capacity
         gm_full_s = G.GaussianMap(*[
             jax.ShapeDtypeStruct((cap,) + tuple(x.shape[1:]), x.dtype)
@@ -703,7 +851,7 @@ class SLAMRuntime:
             sds((), jnp.int32),
             dc,
             float(self.config["mapping"]["sil_thres"]),
-            rcfg,
+            _cam_rcfg(dc, cap),
         )
         d_kwargs = dict(mesh=self.mesh)
         progs = [(steps.tracking_phase, a, k) for a, k in t_progs]
@@ -752,6 +900,7 @@ class SLAMRuntime:
         actually removed something): the full repack is a capacity-sized
         stable argsort + 14-column gather, ~0.2 s/frame at a 524k bucket.
         """
+        self._decay_pairs_seen()
         if not hasattr(self, "_prefix_stats_fn"):
 
             @jax.jit
@@ -902,7 +1051,7 @@ class SLAMRuntime:
                 else:
                     col_c = tr_color[:, ::factor, ::factor]
                     dep_c = tr_depth[::factor, ::factor]
-                q_lv, t_lv, it_c, _loss_c, ovf_c, hist_c = steps.tracking_phase(
+                q_lv, t_lv, it_c, _loss_c, ovf_c, hist_c, np_c = steps.tracking_phase(
                     gm_view,
                     q_lv,
                     t_lv,
@@ -923,12 +1072,13 @@ class SLAMRuntime:
                 if lovf_c and self._grow_tile_k(cam_c, rcfg_c, "tracking(c2f)"):
                     retry = True
                     break
+                self.observe_pairs(cam_c, np_c)
                 ovf_coarse = max(ovf_coarse, povf_c)
                 coarse_iters += int(it_c)
                 coarse_hists.append(np.asarray(hist_c)[: int(it_c)])
             if retry:
                 continue
-            best_q, best_t, iters, _loss, ovf, hist = steps.tracking_phase(
+            best_q, best_t, iters, _loss, ovf, hist, np_t = steps.tracking_phase(
                 gm_view,
                 q_lv,
                 t_lv,
@@ -949,9 +1099,11 @@ class SLAMRuntime:
             povf, lovf = split_overflow(ovf)
             if lovf and self._grow_tile_k(self.tracking_cam, rcfg, "tracking"):
                 continue
+            self.observe_pairs(self.tracking_cam, np_t)
             ovf_total = max(ovf_coarse, povf)
             if ovf_total == 0 or not self._bump_pair_margin(
-                n_active, ovf_total, rcfg.pair_cap, "tracking"
+                n_active, ovf_total, rcfg.pair_cap, "tracking",
+                cam=self.tracking_cam,
             ):
                 break
         best_q.block_until_ready()
@@ -973,7 +1125,7 @@ class SLAMRuntime:
             rcfg = self._phase_rcfg(self.gm.capacity, n_active,
                                     cam=self.densify_cam)
             self._join_inflight(rcfg.pair_cap)
-            gm2, ts2, n_added, n_dropped, ovf = steps.densify_step(
+            gm2, ts2, n_added, n_dropped, ovf, np_d = steps.densify_step(
                 self.gm,
                 self.timestep,
                 d_color,
@@ -989,8 +1141,9 @@ class SLAMRuntime:
             povf, lovf = split_overflow(ovf)
             if lovf and self._grow_tile_k(self.densify_cam, rcfg, "densify"):
                 continue
+            self.observe_pairs(self.densify_cam, np_d)
             if povf > 0 and self._bump_pair_margin(
-                n_active, povf, rcfg.pair_cap, "densify"
+                n_active, povf, rcfg.pair_cap, "densify", cam=self.densify_cam
             ):
                 continue
             if int(n_dropped) > 0:
@@ -1130,16 +1283,18 @@ class SLAMRuntime:
         if not use_densify:
             inputs = self._mapping_inputs(time_idx, selected, num_iters)
             for _attempt in range(4):
-                gm2, _, _, _, ovf, hist = self._run_mapping_chunk(
+                gm2, _, _, _, ovf, hist, np_m = self._run_mapping_chunk(
                     gm_view, opt_state, gsvars, inputs, num_iters, 0, rcfg, lrs, False
                 )
                 povf, lovf = split_overflow(ovf)
                 if lovf and self._grow_tile_k(self.cam, rcfg, "mapping"):
                     pass
-                elif povf == 0 or not self._bump_pair_margin(
-                    n_active, povf, rcfg.pair_cap, "mapping"
-                ):
-                    break
+                else:
+                    self.observe_pairs(self.cam, np_m)
+                    if povf == 0 or not self._bump_pair_margin(
+                        n_active, povf, rcfg.pair_cap, "mapping"
+                    ):
+                        break
                 rcfg = self._phase_rcfg(bucket, n_active)
             gm2.means3d.block_until_ready()
             self.gm = G.write_prefix(self.gm, gm2)
@@ -1163,16 +1318,18 @@ class SLAMRuntime:
             n = min(dcfg.densify_every, num_iters - it)
             inputs = self._mapping_inputs(time_idx, selected, n)
             for _attempt in range(4):
-                gm2, opt2, gsv2, _, ovf, hist = self._run_mapping_chunk(
+                gm2, opt2, gsv2, _, ovf, hist, np_m = self._run_mapping_chunk(
                     gm_view, opt_state, gsvars, inputs, n, it, rcfg, lrs, True
                 )
                 povf, lovf = split_overflow(ovf)
                 if lovf and self._grow_tile_k(self.cam, rcfg, "mapping"):
                     pass
-                elif povf == 0 or not self._bump_pair_margin(
-                    n_active, povf, rcfg.pair_cap, "mapping"
-                ):
-                    break
+                else:
+                    self.observe_pairs(self.cam, np_m)
+                    if povf == 0 or not self._bump_pair_margin(
+                        n_active, povf, rcfg.pair_cap, "mapping"
+                    ):
+                        break
                 rcfg = self._phase_rcfg(bucket, n_active)
             gm_view, opt_state, gsvars = gm2, opt2, gsv2
             hist_chunks.append(np.asarray(hist))

@@ -73,6 +73,7 @@ class LossAux(NamedTuple):
     render_depth: jax.Array
     radii: jax.Array
     overflow: jax.Array
+    n_pairs: jax.Array  # actual (gaussian, tile) pairs this render binned
 
 
 def transform_to_frame(gm: GaussianMap, q: jax.Array, t: jax.Array,
@@ -244,6 +245,7 @@ def get_loss(
         render_depth=depth,
         radii=out.radii,
         overflow=out.overflow,
+        n_pairs=out.n_pairs,
     )
     return loss, aux
 
@@ -331,8 +333,11 @@ def tracking_phase(
     lr-proportional radius, which puts a floor on per-frame pose accuracy
     that accumulates as drift over long sequences.
 
-    Returns (best_q, best_t, iters_run, final_loss, overflow, loss_hist)
-    where loss_hist is [2*num_iters, 3] rows of (loss, weighted depth loss,
+    Returns (best_q, best_t, iters_run, final_loss, overflow, loss_hist,
+    n_pairs_max) — n_pairs_max is the largest actual (gaussian, tile) pair
+    count any iteration binned, feeding the host's measured-count pair
+    budget (pipeline._phase_rcfg). loss_hist is [2*num_iters, 3] rows of
+    (loss, weighted depth loss,
     weighted im loss) per iteration (rows past iters_run are zero) — the
     host replays it for wandb's per-iteration report_loss
     (utils/eval_helpers.py:80-106).
@@ -358,7 +363,7 @@ def tracking_phase(
         return it < limit
 
     def body(carry):
-        it, limit, qt, st, best_q, best_t, min_loss, ovf, hist, ps = carry
+        it, limit, qt, st, best_q, best_t, min_loss, ovf, np_max, hist, ps = carry
         if use_rebin:
             ps = jax.lax.cond(
                 (it > 0) & (it % rebin_every == 0),
@@ -370,6 +375,7 @@ def tracking_phase(
             )
         (loss, aux), grads = grad_fn(qt, ps)
         ovf = jnp.maximum(ovf, aux.overflow)
+        np_max = jnp.maximum(np_max, aux.n_pairs)
         hist = hist.at[it].set(
             jnp.stack([loss, aux.weighted_depth_loss, aux.weighted_im_loss])
         )
@@ -397,7 +403,8 @@ def tracking_phase(
             at_check = (it + 1 == num_iters) & (limit == num_iters)
             under = aux.weighted_depth_loss < depth_loss_thres
             limit = jnp.where(at_check & ~under, 2 * num_iters, limit)
-        return (it + 1, limit, qt, st, best_q, best_t, min_loss, ovf, hist, ps)
+        return (it + 1, limit, qt, st, best_q, best_t, min_loss, ovf, np_max,
+                hist, ps)
 
     st0 = optim.adam_init((q0, t0))
     ps0 = (loss_pair_structure(gm, q0, t0, cam, rcfg, with_world16=True,
@@ -412,13 +419,14 @@ def tracking_phase(
         t0,
         jnp.float32(1e20),
         jnp.int32(0),
+        ps0.bins.n_pairs if use_rebin else jnp.int32(0),
         jnp.zeros((2 * num_iters, 3), jnp.float32),
         ps0,
     )
-    it, _, _, _, best_q, best_t, min_loss, ovf, hist, _ = jax.lax.while_loop(
-        cond, body, carry0
+    (it, _, _, _, best_q, best_t, min_loss, ovf, np_max, hist, _) = (
+        jax.lax.while_loop(cond, body, carry0)
     )
-    return best_q, best_t, it, min_loss, ovf, hist
+    return best_q, best_t, it, min_loss, ovf, hist, np_max
 
 
 # ---------------------------------------------------------------------------
@@ -507,7 +515,8 @@ def mapping_phase(
     and pruned gaussians are silenced exactly via zeroed opacity.
 
     Returns (GaussianMap, opt_state, gsvars, summed loss, overflow max,
-    loss_hist [num_iters, 3] of (loss, w_depth, w_im) per iteration).
+    loss_hist [num_iters, 3] of (loss, w_depth, w_im) per iteration,
+    n_pairs max across iterations — see tracking_phase).
     """
     param_tuple = (
         gm.means3d,
@@ -566,7 +575,7 @@ def mapping_phase(
         grad_fn = jax.value_and_grad(loss_fn, argnums=(0,), has_aux=True)
 
     def body(i, carry):
-        params, active, st, gsv, loss_sum, ovf_max, hist = carry
+        params, active, st, gsv, loss_sum, ovf_max, np_max, hist = carry
         it = start_iter + i
         slot = iter_slots[i]
         color = (
@@ -626,14 +635,15 @@ def mapping_phase(
             gsv,
             loss_sum + loss,
             jnp.maximum(ovf_max, aux.overflow),
+            jnp.maximum(np_max, aux.n_pairs),
             hist,
         )
 
     carry0 = (
         param_tuple, gm.active, opt_state, gsvars, jnp.float32(0),
-        jnp.int32(0), jnp.zeros((num_iters, 3), jnp.float32),
+        jnp.int32(0), jnp.int32(0), jnp.zeros((num_iters, 3), jnp.float32),
     )
-    params, active, st, gsv, loss_sum, ovf, hist = jax.lax.fori_loop(
+    params, active, st, gsv, loss_sum, ovf, np_max, hist = jax.lax.fori_loop(
         0, num_iters, body, carry0
     )
     new_gm = gm._replace(
@@ -644,7 +654,7 @@ def mapping_phase(
         log_scales=params[4],
         active=active,
     )
-    return new_gm, st, gsv, loss_sum, ovf, hist
+    return new_gm, st, gsv, loss_sum, ovf, hist, np_max
 
 
 # ---------------------------------------------------------------------------
@@ -687,7 +697,7 @@ def densify_step(
 ):
     """add_new_gaussians (scripts/splatam.py:378-420) as a slot scatter.
 
-    Returns (gm, timestep, n_added, n_dropped).
+    Returns (gm, timestep, n_added, n_dropped, overflow, n_pairs).
     """
     means_cam, rots_cam = transform_to_frame(gm, sg(q), sg(t), False, False)
     if mesh is not None:
@@ -755,7 +765,29 @@ def densify_step(
     )
     timestep = timestep.at[dest].set(time_idx.astype(jnp.float32), mode="drop")
     n_added = jnp.minimum(n_cand, n_free)
-    return gm, timestep, n_added, n_cand - n_added, out.overflow
+    return gm, timestep, n_added, n_cand - n_added, out.overflow, out.n_pairs
+
+
+@partial(jax.jit, static_argnames=("cam",))
+def count_pairs(gm: GaussianMap, q: jax.Array, t: jax.Array, cam: Camera):
+    """Pair-count probe: the total (gaussian, tile) pair population a render
+    at this pose/camera would expand (sum of alpha-cutoff rect areas —
+    exactly build_bins' pre-clamp total). Projection only, no sort: compiles
+    in seconds and runs in ~1 ms, letting the pipeline seed its
+    measured-count pair budget at init, before any phase has compiled."""
+    from splatam_tpu.render import projection as projection_mod
+    from splatam_tpu.render.api import _prep_gaussians
+
+    means_cam, rots_cam = transform_to_frame(gm, sg(q), sg(t), False, False)
+    quats, logit_op, scales = _prep_gaussians(
+        rots_cam, gm.logit_opacities, gm.log_scales
+    )
+    _, aux = projection_mod.project(
+        means_cam, quats, logit_op, scales, gm.active, cam.w2c_array(),
+        cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height,
+    )
+    counts = jnp.where(aux.visible, aux.rect_wh[:, 0] * aux.rect_wh[:, 1], 0)
+    return jnp.sum(counts)
 
 
 @partial(jax.jit, static_argnames=("cam",))

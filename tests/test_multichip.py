@@ -84,8 +84,8 @@ def test_sharded_tracking_phase_matches_unsharded():
     mesh = make_mesh(N_DEV)
 
     args = (gm, q0, t0, color, depth, CAM, 5, False, 1e5, 2e-3, 1e-3, PCFG_T, RCFG)
-    q_a, t_a, it_a, loss_a, _, _ = steps.tracking_phase(*args)
-    q_b, t_b, it_b, loss_b, _, _ = steps.tracking_phase(*args, mesh=mesh)
+    q_a, t_a, it_a, loss_a, _, _, _ = steps.tracking_phase(*args)
+    q_b, t_b, it_b, loss_b, _, _, _ = steps.tracking_phase(*args, mesh=mesh)
     assert int(it_a) == int(it_b)
     np.testing.assert_allclose(float(loss_b), float(loss_a), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(q_b), np.asarray(q_a), atol=1e-5)
@@ -123,8 +123,8 @@ def test_sharded_mapping_phase_matches_unsharded():
             mesh=mesh_arg,
         )
 
-    gm_a, _, gsv_a, loss_a, _, _ = run(None)
-    gm_b, _, gsv_b, loss_b, _, _ = run(mesh)
+    gm_a, _, gsv_a, loss_a, _, _, _ = run(None)
+    gm_b, _, gsv_b, loss_b, _, _, _ = run(mesh)
     np.testing.assert_allclose(float(loss_b), float(loss_a), rtol=1e-4)
     np.testing.assert_allclose(
         np.asarray(gm_b.means3d), np.asarray(gm_a.means3d), atol=1e-5
@@ -150,8 +150,8 @@ def test_sharded_tracking_reuse_matches_unsharded_reuse():
     mesh = make_mesh(N_DEV)
 
     args = (gm, q0, t0, color, depth, CAM, 6, False, 1e5, 2e-3, 1e-3, PCFG_T, RCFG)
-    q_a, t_a, it_a, loss_a, _, _ = steps.tracking_phase(*args, rebin_every=3)
-    q_b, t_b, it_b, loss_b, _, _ = steps.tracking_phase(
+    q_a, t_a, it_a, loss_a, _, _, _ = steps.tracking_phase(*args, rebin_every=3)
+    q_b, t_b, it_b, loss_b, _, _, _ = steps.tracking_phase(
         *args, mesh=mesh, rebin_every=3
     )
     assert int(it_a) == int(it_b)
@@ -196,8 +196,8 @@ def test_sharded_mapping_reuse_matches_unsharded_reuse():
             n_structs=jnp.int32(1),
         )
 
-    gm_a, _, gsv_a, loss_a, _, _ = run(None)
-    gm_b, _, gsv_b, loss_b, _, _ = run(mesh)
+    gm_a, _, gsv_a, loss_a, _, _, _ = run(None)
+    gm_b, _, gsv_b, loss_b, _, _, _ = run(mesh)
     np.testing.assert_allclose(float(loss_b), float(loss_a), rtol=1e-4)
     np.testing.assert_allclose(
         np.asarray(gm_b.means3d), np.asarray(gm_a.means3d), atol=1e-5

@@ -130,8 +130,8 @@ def test_tracking_rebin_matches_exact():
     cam = _cam()
     gm = _gm()
     t_gt = np.array([0.02, -0.01, 0.015], np.float32)
-    q1, t1, it1, loss1, _, _ = _tracking_args(gm, cam, 1)
-    q4, t4, it4, loss4, _, _ = _tracking_args(gm, cam, 4)
+    q1, t1, it1, loss1, _, _, _ = _tracking_args(gm, cam, 1)
+    q4, t4, it4, loss4, _, _, _ = _tracking_args(gm, cam, 4)
     assert int(it1) == int(it4)
     err1 = float(np.linalg.norm(np.asarray(t1) - t_gt))
     err4 = float(np.linalg.norm(np.asarray(t4) - t_gt))
@@ -194,8 +194,8 @@ def test_mapping_reuse_matches_exact():
             **kwargs,
         )
 
-    gm1, _, _, loss1, _, _ = run(False)
-    gm2, _, _, loss2, _, _ = run(True)
+    gm1, _, _, loss1, _, _, _ = run(False)
+    gm2, _, _, loss2, _, _, _ = run(True)
     assert abs(float(loss1) - float(loss2)) / max(abs(float(loss1)), 1e-6) < 0.02
     np.testing.assert_allclose(
         np.asarray(gm1.means3d), np.asarray(gm2.means3d), atol=2e-3
