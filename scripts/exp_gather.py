@@ -95,5 +95,44 @@ def main():
                    table)
 
 
+
+def transposed_variants():
+    """Variants matching the REAL backward path: the table arrives as
+    [16, pad] (kernel layout) and is .T'd before the row gather."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from splatam_tpu.render.pallas import composite_pallas as CP
+
+    p, pad = 1835008, 1981696
+    rng = np.random.default_rng(0)
+    tt = jnp.asarray(rng.uniform(-1, 1, (16, pad)).astype(np.float32))
+    idx = jnp.asarray(rng.permutation(pad)[:p].astype(np.int32))
+
+    def split_gather(tbl, idx, k):
+        cols = tbl.shape[1]
+        step = cols // k
+        outs = [tbl[:, i*step:(i+1)*step].at[idx].get(mode="fill", fill_value=0.0)
+                for i in range(k)]
+        return jnp.concatenate(outs, axis=1)
+
+    for k in (1, 2, 4):
+        timed_loop(f"T-source gather split={k}",
+                   lambda t_, k=k: split_gather(t_.T, idx, k).T, tt)
+    timed_loop("T-source _split_row_gather (current)",
+               lambda t_: CP._split_row_gather(t_.T, idx).T, tt)
+    timed_loop("T-source explicit transpose then split=4",
+               lambda t_: split_gather(jnp.asarray(t_.T, order='C') if False
+                                       else jax.lax.transpose(t_, (1, 0)),
+                                       idx, 4).T, tt)
+    # gather along axis 1 directly from the [16, pad] layout
+    timed_loop("axis1 gather from [16,pad]",
+               lambda t_: t_.at[:, idx].get(mode="fill", fill_value=0.0), tt)
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--transposed" in sys.argv:
+        transposed_variants()
+    else:
+        main()

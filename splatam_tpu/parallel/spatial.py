@@ -96,11 +96,13 @@ def compute_pair_structure_sharded(
         )
         if maybe_world and ps.pad_gauss is not None:
             from splatam_tpu.render.pallas.composite_pallas import (
-                _split_row_gather,
+                _pad_cols, _split_row_gather,
             )
 
             ps = ps._replace(
-                world16=_split_row_gather(maybe_world[0], ps.pad_gauss).T
+                world16=_pad_cols(
+                    _split_row_gather(maybe_world[0], ps.pad_gauss)
+                ).T
             )
         return jax.tree.map(lambda x: x[None], ps)
 

@@ -38,7 +38,7 @@ from splatam_tpu.render.projection import NEAR_CLIP, _cov3d_components
 
 def pack_world_rows(means3d, unnorm_rotations, logit_opacities, log_scales,
                     rgb_colors, active):
-    """[N, 16] world-frame attr rows (constants during tracking).
+    """[N, 13] world-frame attr rows (constants during tracking).
 
     log_scales may be [N,1] (isotropic) or [N,3]."""
     n = means3d.shape[0]
@@ -50,15 +50,15 @@ def pack_world_rows(means3d, unnorm_rotations, logit_opacities, log_scales,
     opacity = jnp.where(
         active, jax.nn.sigmoid(logit_opacities.reshape(n)), 0.0
     )
+    # 13 REAL columns; the three ATTR_W pad columns are appended after the
+    # pair gather (composite_pallas._pad_cols) — gathering in-graph zero
+    # columns is NOT folded by XLA and costs real bandwidth.
     return jnp.stack(
         [
             means3d[:, 0], means3d[:, 1], means3d[:, 2],
             s00, s01, s02, s11, s12, s22,
             opacity,
             rgb_colors[:, 0], rgb_colors[:, 1], rgb_colors[:, 2],
-            jnp.zeros((n,), jnp.float32),
-            jnp.zeros((n,), jnp.float32),
-            jnp.zeros((n,), jnp.float32),
         ],
         axis=1,
     )

@@ -630,11 +630,15 @@ def segment_reduce_scan_pallas(grads_grouped, gid_grouped):
 # 23.6 ns/idx vs 5.9 ns/idx for the same rows split into [2.77M,8] halves;
 # the cliff follows ELEMENT COUNT — f16 at the same element count is just
 # as slow, and the column-split halves overlap so 2x8 costs ~1x8). Split
-# any wide row gather whose table crosses the threshold. 2^23 (not the
-# cliff's ~2^24.5) because pieces sitting just UNDER the cliff still pay
-# ~12% (round-4 measurement: 4x4-col beats 2x8-col 9.3 vs 10.5 ms at
-# 1.98M rows).
-_GATHER_SPLIT_ELEMS = 1 << 23
+# any wide row gather whose table crosses the threshold. Round-4
+# recalibration with a DCE-proof harness (sum-everything consumption —
+# col-0-only consumption lets XLA narrow a split gather to one column and
+# fabricates 4x "speedups"): full 16-col gather at 1.8M indices costs
+# 39 ms unsplit, 34.5 ms split=2, 68 ms split=4, independent of source
+# layout and index locality (~1.2 ns per gathered element, throughput-
+# bound). Split once below this threshold is optimal; deeper splits
+# REGRESS.
+_GATHER_SPLIT_ELEMS = 1 << 24
 
 
 def _split_row_gather(table_rows, idx):
@@ -657,15 +661,23 @@ def _split_row_gather(table_rows, idx):
 
 
 def _pack_attrs_rows(xy, conic, opacity, channels):
-    """[N, ATTR_W] row-major attrs (row gathers are far cheaper than axis-1
-    gathers on TPU; the [ATTR_W, P_pad] kernel layout comes from one
-    transpose)."""
-    ch = channels.shape[1]
-    cols = [xy, conic, opacity[:, None], channels]
-    pad = ATTR_W - 6 - ch
-    if pad:
-        cols.append(jnp.zeros((opacity.shape[0], pad), jnp.float32))
-    return jnp.concatenate(cols, axis=1)  # [N, 16]
+    """[N, 6+ch] row-major REAL attrs (row gathers are far cheaper than
+    axis-1 gathers on TPU; the [ATTR_W, P_pad] kernel layout comes from one
+    transpose). The ATTR_W zero-pad columns are appended AFTER the pair
+    gather (_pad_cols): XLA does NOT fold gathers of in-graph zero columns
+    (measured 34.6 -> 20.4 ms at 1.8M pairs by gathering 11 instead of 16),
+    and the pad values are never read by the kernels anyway."""
+    return jnp.concatenate([xy, conic, opacity[:, None], channels], axis=1)
+
+
+def _pad_cols(rows, width=ATTR_W):
+    """Append zero columns up to `width` (post-gather — see above)."""
+    pad = width - rows.shape[1]
+    if pad <= 0:
+        return rows
+    return jnp.concatenate(
+        [rows, jnp.zeros((rows.shape[0], pad), jnp.float32)], axis=1
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -679,8 +691,8 @@ def _composite_core(xy, conic, opacity, channels, pad_data, grid_x, num_tiles, c
 def _composite_core_fwd(xy, conic, opacity, channels, pad_data, grid_x, num_tiles, ch):
     (pad_gauss, pad_start, lens, dst, counts, in_stream, gid_sorted,
      dst_sorted) = pad_data
-    attrs_rows = _pack_attrs_rows(xy, conic, opacity, channels)
-    padded16 = _split_row_gather(attrs_rows, pad_gauss).T  # row gather + transpose
+    attrs_rows = _pack_attrs_rows(xy, conic, opacity, channels)  # [N, 6+ch]
+    padded16 = _pad_cols(_split_row_gather(attrs_rows, pad_gauss)).T
     out = composite_forward_pallas(padded16, pad_start, lens, grid_x, num_tiles, ch)
     res = (padded16, pad_start, lens, dst, counts, in_stream, gid_sorted,
            dst_sorted, out, xy.shape[0])
@@ -706,9 +718,11 @@ def _composite_core_bwd(grid_x, num_tiles, ch, res, g_acc):
         padded16, pad_start, lens, state, g_acc, grid_x, num_tiles, ch
     )  # [16, P_pad]; real-but-unreached slots are zero-filled by the kernel
     pair_cap = dst.shape[0]
+    real = 6 + ch  # grad rows past this are identically zero — never gather
+    # them: a 16-col gather costs 1.45x an 11-col one (see _pack_attrs_rows)
 
-    grads_grouped = _split_row_gather(
-        dattrs.T, dst_sorted
+    grads_grouped = _pad_cols(
+        _split_row_gather(dattrs[:real].T, dst_sorted)
     ).T  # [16, pair_cap]; XLA fuses the transposes into the gathers
 
     scanned = segment_reduce_scan_pallas(grads_grouped, gid_sorted)
@@ -717,9 +731,9 @@ def _composite_core_bwd(grid_x, num_tiles, ch, res, g_acc):
     end_slot = jnp.minimum(offsets + counts, pair_cap) - 1
     d_all = jnp.where(
         in_stream[:, None],
-        _split_row_gather(scanned.T, jnp.clip(end_slot, 0, pair_cap - 1)),
+        _split_row_gather(scanned[:real].T, jnp.clip(end_slot, 0, pair_cap - 1)),
         0.0,
-    )  # [n_gauss, 16]
+    )  # [n_gauss, 6+ch]
     d_xy = d_all[:, 0:2]
     d_con = d_all[:, 2:5]
     d_opa = d_all[:, 5]

@@ -12,6 +12,7 @@ re-architecture documented in SURVEY.md section 7:
 from __future__ import annotations
 
 import os
+import sys
 import time
 
 import numpy as np
@@ -125,27 +126,47 @@ PAIR_CAP_HARD_LIMIT = (1 << 23) - (1 << 17)
 # Measured-count pair budget headroom: the pair buffers are sized to the
 # largest OBSERVED pair count times this, instead of bucket * margin (the
 # round-3 scheme whose measured overshoot was ~1.8x — pair-row-bound stages
-# are ~60% of a mapping iteration, so the padding was pure waste).
-PAIR_HEADROOM = 1.25
+# are ~60% of a mapping iteration, so the padding was pure waste). 1.15:
+# the observed max is itself slow-decaying, and an underestimate is
+# RECOVERABLE (overflow -> _bump_pair_margin -> phase retried once), so
+# thin headroom costs an occasional retry instead of 10-20% padding on
+# every iteration. (1.25 measured on the full-res bench: actual pairs
+# 1.68M -> target 2.10M, 0.4% above the 2^21 rung -> quantized to 3.1M,
+# an 87% overshoot.)
+PAIR_HEADROOM = 1.15
 
 
 def _next_pair_rung(target: float, floor: int) -> int:
-    """Smallest ladder value >= target on the {2^k, 1.5*2^k} ladder starting
-    at `floor` (a power of two >= 2^13). Two rungs per octave keeps the
-    compile-shape ladder short — the shape-storm failure mode documented at
-    _phase_rcfg is a BUDGET KEYED TO A CONTINUOUS QUANTITY; the ladder is
-    the quantization that prevents it. Every rung is a multiple of 2^12
-    (Pallas segment scan needs pair_cap % 128 == 0)."""
+    """Smallest ladder value >= target on the {1, 1.25, 1.5, 1.75}*2^k
+    ladder starting at `floor` (a power of two >= 2^13). Four rungs per
+    octave: pair growth is sublinear in map growth (the frustum bounds the
+    visible pair population), so a run crosses only a handful of rungs,
+    while each rung's worst-case padding drops to 25% — the shape-storm
+    failure mode documented at _phase_rcfg is a budget keyed to a
+    CONTINUOUS quantity, which this ladder is not. Every rung is a
+    multiple of 2^12 above the 2^14 floor (Pallas segment scan needs
+    pair_cap % 128 == 0)."""
     v = int(floor)
     while v < target:
-        # 2^k -> 1.5*2^k -> 2^(k+1): 1.5*2^k = 3*2^(k-1) is divisible by 3.
-        v = v + (v >> 1) if (v & (v - 1)) == 0 else (v // 3) * 4
+        b = _octave_base(v)
+        v += (b >> 2) if b >= (1 << 14) else b
     return v
 
 
 def _pair_rung_down(v: int) -> int:
     """One ladder rung below v (inverse of _next_pair_rung's step)."""
-    return (v // 4) * 3 if (v & (v - 1)) == 0 else (v // 3) * 2
+    b = _octave_base(v)
+    if v == b:  # power of two: previous rung is 1.75 * 2^(k-1)
+        return b - (b >> 3) if b >= (1 << 15) else b >> 1
+    return v - (b >> 2)
+
+
+def _octave_base(v: int) -> int:
+    """Largest power of two <= v."""
+    b = 1
+    while (b << 1) <= v:
+        b <<= 1
+    return b
 
 
 def _next_pow2_int(n: int) -> int:
@@ -401,21 +422,25 @@ class SLAMRuntime:
                     continue
                 seen_grids.add(g)
                 self.observe_pairs(cam, steps.count_pairs(gm_view, q0, t0, cam))
-        rcfg0 = self._phase_rcfg(bucket0, n_active)
-        key = (bucket0, rcfg0.pair_cap)
-        if key in self._precompiled:
-            return
-        self._precompiled.add(key)
         import threading
 
-        packed = self._build_precompile_args(bucket0, rcfg0)
-        th = threading.Thread(
-            target=self._compile_phases,
-            args=(packed, key, self._inflight, self._precompiled),
-            daemon=True,
-        )
-        self._inflight[key] = th
-        th.start()
+        targets = [(bucket0, self._phase_rcfg(bucket0, n_active))]
+        if n_active > (bucket0 * 7) // 10:
+            # The map seeds near the top of its first bucket (a dense
+            # frame-0 backprojection fills ~90% of a rung at full res), so
+            # the first bucket crossing lands within the first few frames —
+            # before _maybe_precompile has two frames of growth history.
+            # Compile the next rung's programs at init too; pair counts
+            # plateau with the frustum, so the seeded rung is the right
+            # pair hint.
+            bucket1 = self._bucket(bucket0 + 1)
+            if bucket1 > bucket0:
+                hint = self._pairs_seen.get(self._grid_key(self.cam)) or None
+                targets.append(
+                    (bucket1, self._phase_rcfg(bucket1, pairs_hint=hint))
+                )
+        for bucket, rcfg in targets:
+            self._spawn_precompile(bucket, rcfg)
 
     # -------------------------------------------------------------------
     def _bucket(self, n_active: int) -> int:
@@ -566,6 +591,12 @@ class SLAMRuntime:
                 if rung > _pair_rung_down(_pair_rung_down(prev)):
                     rung = prev
             if pairs_hint is None:
+                if self._pair_rung_used.get(grid) != rung:
+                    print(
+                        f"[splatam-tpu] pair budget grid={grid}: seen="
+                        f"{int(measured)} -> rung {rung} (margin cap {budget})",
+                        file=sys.stderr,
+                    )
                 self._pair_rung_used[grid] = rung
             budget = min(rung, budget)
         # The binning packs pair offsets into 23 bits (offset|rect_w), so
@@ -686,8 +717,6 @@ class SLAMRuntime:
             trigger = rcfg_now.pair_cap / PAIR_HEADROOM
             if pairs_now + horizon * self._pairs_growth > trigger:
                 cands.append((bucket_now, n_active, trigger * 1.02))
-        import threading
-
         for bucket_p, n_p, hint in cands:
             if bucket_p <= (1 << 16):
                 # Small-bucket compiles are seconds, not minutes — not
@@ -696,31 +725,74 @@ class SLAMRuntime:
                 continue
             rcfg_p = self._phase_rcfg(bucket_p, n_p, pairs_hint=hint)
             key = (bucket_p, rcfg_p.pair_cap)
-            if key == (bucket_now, rcfg_now.pair_cap) or key in self._precompiled:
+            if key == (bucket_now, rcfg_now.pair_cap):
                 continue
-            self._precompiled.add(key)
             ratio = (hint / pairs_now) if (hint and pairs_now > 0) else 1.0
-            packed = self._build_precompile_args(
-                bucket_p, rcfg_p, pairs_ratio=ratio
-            )
+            self._spawn_precompile(bucket_p, rcfg_p, pairs_ratio=ratio)
+
+    def _spawn_precompile(self, bucket: int, rcfg: RenderConfig,
+                          pairs_ratio: float = 1.0) -> None:
+        """Background-compile the phase programs at (bucket, rcfg), ONE
+        THREAD PER PROGRAM so a phase driver can join exactly the program
+        it needs (_join_inflight's program filter). The round-3 design held
+        one thread per key; densify_frame's join then blocked ~25 s on the
+        next bucket's whole tracking+mapping compile it had no use for
+        (BENCH_r04 frames 2-3)."""
+        import threading
+
+        key = (bucket, rcfg.pair_cap)
+        if key in self._precompiled:
+            return
+        self._precompiled.add(key)
+        packed = self._build_precompile_args(bucket, rcfg, pairs_ratio)
+        for fn, args, kwargs in packed:
+            name = getattr(fn, "__name__", str(fn))
+            ikey = (bucket, rcfg.pair_cap, name, id(args))
             th = threading.Thread(
-                target=self._compile_phases,
-                args=(packed, key, self._inflight, self._precompiled),
+                target=self._compile_one,
+                args=(fn, args, kwargs, ikey, key, self._inflight,
+                      self._precompiled),
                 daemon=True,
             )
-            self._inflight[key] = th
+            self._inflight[ikey] = th
             th.start()
 
-    def _join_inflight(self, pair_cap: int, bucket: int | None = None) -> None:
+    @staticmethod
+    def _compile_one(fn, args, kwargs, ikey, key, inflight, precompiled):
+        try:
+            t0 = time.time()
+            lowered = fn.lower(*args, **kwargs)
+            t1 = time.time()
+            lowered.compile()
+            if os.environ.get("SPLATAM_COMPILE_STATS"):
+                print(
+                    f"[splatam-tpu] precompile {ikey[:3]}: trace "
+                    f"{t1 - t0:.1f}s compile {time.time() - t1:.1f}s",
+                    file=sys.stderr,
+                )
+        except Exception as e:  # background best-effort; the real call
+            print(f"[splatam-tpu] async precompile {ikey[:3]} failed: {e!r}")
+            # A failed precompile must not poison the key: discard it so a
+            # later _maybe_precompile can retry instead of silently paying
+            # the full foreground compile at the crossing.
+            precompiled.discard(key)
+        finally:
+            inflight.pop(ikey, None)
+
+    def _join_inflight(self, pair_cap: int, bucket: int | None = None,
+                       program: str | None = None) -> None:
         """If a background compile covering these shapes is still running,
         wait for it (it writes the persistent cache the jit call then
         hits) — finishing its remainder beats paying the whole compile
-        again in the foreground."""
-        for key, th in list(self._inflight.items()):
-            if key[1] != pair_cap or (bucket is not None and key[0] != bucket):
+        again in the foreground. `program` narrows the wait to the one
+        phase program the caller is about to run."""
+        for ikey, th in list(self._inflight.items()):
+            if ikey[1] != pair_cap or (bucket is not None and ikey[0] != bucket):
+                continue
+            if program is not None and ikey[2] != program:
                 continue
             if th.is_alive():
-                print(f"[splatam-tpu] waiting on in-flight precompile {key}")
+                print(f"[splatam-tpu] waiting on in-flight precompile {ikey[:3]}")
                 th.join()
 
     def _build_precompile_args(self, bucket: int, rcfg: RenderConfig,
@@ -858,39 +930,6 @@ class SLAMRuntime:
         progs.append((steps.densify_step, d_args, d_kwargs))
         progs.append((steps.mapping_phase, m_args, m_kwargs))
         return progs
-
-    @staticmethod
-    def _compile_phases(packed, key, inflight, precompiled=None) -> None:
-        import threading
-
-        failed = []
-
-        def one(fn, args, kwargs):
-            try:
-                fn.lower(*args, **kwargs).compile()
-            except Exception as e:  # background best-effort; the real call
-                print(f"[splatam-tpu] async precompile {key} failed: {e!r}")
-                failed.append(e)
-
-        try:
-            # The programs compile concurrently — the compile service
-            # overlaps requests, so the background window shrinks toward
-            # the longest single program instead of the sum.
-            ts = [
-                threading.Thread(target=one, args=(fn, a, k), daemon=True)
-                for fn, a, k in packed
-            ]
-            for t in ts:
-                t.start()
-            for t in ts:
-                t.join()
-        finally:
-            inflight.pop(key, None)
-            # A failed precompile must not poison the key: discard it so a
-            # later _maybe_precompile can retry instead of silently paying
-            # the full foreground compile at the crossing.
-            if failed and precompiled is not None:
-                precompiled.discard(key)
 
     def compact(self):
         """Re-pack active Gaussians into a dense prefix (once per frame).
@@ -1036,7 +1075,7 @@ class SLAMRuntime:
             full_iters = max(full_iters - sum(n for _, n in levels), 1)
         for _attempt in range(6):
             rcfg = self._phase_rcfg(bucket, n_active, cam=self.tracking_cam)
-            self._join_inflight(rcfg.pair_cap, bucket)
+            self._join_inflight(rcfg.pair_cap, bucket, "tracking_phase")
             q_lv, t_lv = q0, t0
             coarse_hists: list = []
             coarse_iters = 0
@@ -1124,7 +1163,7 @@ class SLAMRuntime:
             n_active = int(self.gm.num_active())
             rcfg = self._phase_rcfg(self.gm.capacity, n_active,
                                     cam=self.densify_cam)
-            self._join_inflight(rcfg.pair_cap)
+            self._join_inflight(rcfg.pair_cap, program="densify_step")
             gm2, ts2, n_added, n_dropped, ovf, np_d = steps.densify_step(
                 self.gm,
                 self.timestep,
@@ -1271,7 +1310,7 @@ class SLAMRuntime:
         bucket = self._bucket(n_active)
         gm_view, _ = G.slice_prefix(self.gm, self.timestep, bucket)
         rcfg = self._phase_rcfg(bucket, n_active)
-        self._join_inflight(rcfg.pair_cap, bucket)
+        self._join_inflight(rcfg.pair_cap, bucket, "mapping_phase")
         params_of = lambda g: (
             g.means3d, g.rgb_colors, g.unnorm_rotations,
             g.logit_opacities, g.log_scales,

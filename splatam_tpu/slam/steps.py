@@ -294,9 +294,13 @@ def loss_pair_structure(gm: GaussianMap, q, t, cam: Camera, rcfg: RenderConfig,
         gm.active, rcfg,
     )
     if world_rows is not None and ps.pad_gauss is not None:
-        from splatam_tpu.render.pallas.composite_pallas import _split_row_gather
+        from splatam_tpu.render.pallas.composite_pallas import (
+            _pad_cols, _split_row_gather,
+        )
 
-        ps = ps._replace(world16=_split_row_gather(world_rows, ps.pad_gauss).T)
+        ps = ps._replace(
+            world16=_pad_cols(_split_row_gather(world_rows, ps.pad_gauss)).T
+        )
     return ps
 
 

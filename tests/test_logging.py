@@ -47,10 +47,15 @@ def test_pair_margin_bump_logic():
     death spiral); only the hard memory bound refuses."""
     from splatam_tpu.slam.pipeline import SLAMRuntime
 
+    from splatam_tpu.core.camera import Camera
+
     rt = SLAMRuntime.__new__(SLAMRuntime)  # no full init needed
     rt.config = {"tpu": {"pair_cap": 1 << 20}}
     rt.pair_margin = 2.0
     rt.mesh = None  # single-chip: no per-shard budget translation
+    rt.cam = Camera(height=340, width=600, fx=300.0, fy=300.0, cx=300.0,
+                    cy=170.0)
+    rt._pairs_seen = {}
     assert rt._bump_pair_margin(100_000, 50_000, 262_144, "tracking")
     assert rt.pair_margin >= 3.0  # (262k+50k)*1.15/100k or 1.5x
     # At the old ceiling: the ceiling itself grows and the retry proceeds.
@@ -73,6 +78,9 @@ def test_phase_rcfg_scales_with_margin():
     rt.mesh = None
     rt.cam = Camera(height=340, width=600, fx=300.0, fy=300.0, cx=300.0, cy=170.0)
     rt._tile_k_grown = {}
+    rt._pairs_seen = {}
+    rt._pair_rung_used = {}
+    rt.measured_pair_budget = True
     base = rt._phase_rcfg(1 << 18, 200_000).pair_cap
     rt.pair_margin = 4.0
     assert rt._phase_rcfg(1 << 18, 200_000).pair_cap > base

@@ -10,7 +10,9 @@ from splatam_tpu.core.camera import Camera
 from splatam_tpu.render import pairspace
 from splatam_tpu.render import projection as projection_mod
 from splatam_tpu.render.api import RenderConfig, _prep_gaussians
-from splatam_tpu.render.pallas.composite_pallas import _pack_attrs_rows
+from splatam_tpu.render.pallas.composite_pallas import (
+    _pack_attrs_rows, _pad_cols,
+)
 from splatam_tpu.slam.steps import loss_pair_structure, transform_to_frame
 
 
@@ -65,7 +67,7 @@ def _padded_ref(gm, q, t, cam, ps):
         [gm.rgb_colors, jnp.stack([proj.depth, proj.depth**2], -1)], -1
     )
     rows = _pack_attrs_rows(proj.xy, proj.conic, opacity, channels)
-    return rows[ps.pad_gauss].T
+    return _pad_cols(rows[ps.pad_gauss]).T
 
 
 @pytest.mark.parametrize("aniso", [False, True])

@@ -20,15 +20,15 @@ def test_precompile_args_match_phase_signatures(tmp_path):
     next_bucket = rt._bucket(rt.gm.capacity)
     rcfg = rt._phase_rcfg(next_bucket, next_bucket)
     packed = rt._build_precompile_args(next_bucket, rcfg)
-    # Synchronous compile: raises on any signature/shape mismatch. The
-    # production path runs this same call in a daemon thread.
-    rt._compile_phases(packed, (next_bucket, rcfg.pair_cap), {})
-
-    # The thread wrapper swallows exceptions by design — verify the direct
-    # lowering really produced executables for ALL THREE programs.
+    # Synchronous compile of every packed program: raises on any signature/
+    # shape mismatch (the production path runs these in daemon threads via
+    # _spawn_precompile, which swallows exceptions by design). All three
+    # phase programs must be present in the pack.
     from splatam_tpu.slam import steps
 
-    (t_args, t_kwargs), (m_args, m_kwargs), (d_args, d_kwargs) = packed
-    assert steps.tracking_phase.lower(*t_args, **t_kwargs).compile() is not None
-    assert steps.mapping_phase.lower(*m_args, **m_kwargs).compile() is not None
-    assert steps.densify_step.lower(*d_args, **d_kwargs).compile() is not None
+    fns = [fn for fn, _, _ in packed]
+    assert steps.tracking_phase in fns
+    assert steps.mapping_phase in fns
+    assert steps.densify_step in fns
+    for fn, args, kwargs in packed:
+        assert fn.lower(*args, **kwargs).compile() is not None
