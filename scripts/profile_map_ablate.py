@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=1179648)
+    ap.add_argument("--n", type=int, default=950272)
     ap.add_argument("--h", type=int, default=680)
     ap.add_argument("--w", type=int, default=1200)
     ap.add_argument("--pair_cap", type=int, default=2097152)
@@ -91,10 +91,14 @@ def main():
 
         def probe(m):
             def f(params):
+                full = [m, gm.rgb_colors, gm.unnorm_rotations,
+                        gm.logit_opacities, gm.log_scales]
+                for slot, p in zip(grad_params, params):
+                    full[slot] = p
                 g2 = gm._replace(
-                    means3d=params[0], rgb_colors=params[1],
-                    unnorm_rotations=params[2], logit_opacities=params[3],
-                    log_scales=params[4],
+                    means3d=full[0], rgb_colors=full[1],
+                    unnorm_rotations=full[2], logit_opacities=full[3],
+                    log_scales=full[4],
                 )
                 loss, _ = steps.get_loss(
                     g2, q, t, color, depth_gt, cam, pcfg, rcfg, False, True,
@@ -103,7 +107,8 @@ def main():
                 return loss
             full = (m, gm.rgb_colors, gm.unnorm_rotations,
                     gm.logit_opacities, gm.log_scales)
-            return jax.grad(f, argnums=grad_params)(full)
+            sel = tuple(full[i] for i in grad_params)
+            return jax.grad(f)(sel)
         return probe
 
     timed_loop("mapping fwd+bwd (baseline)", mk())
