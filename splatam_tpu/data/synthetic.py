@@ -127,7 +127,14 @@ class SyntheticDataset:
         (Replica-room0-like back-and-forth scanning): the return leg
         re-localizes against map regions built with less accumulated
         drift, which is the revisit/drift-cancellation regime the pan
-        by construction cannot probe."""
+        by construction cannot probe.
+        "scan" is the multi-sweep variant (3 triangular sweeps at the same
+        per-frame rate): after the first leg maps the territory, every
+        later frame tracks against map regions whose pose anchor was
+        frozen early, so drift can only integrate over ~1/3 of the run —
+        the regime where revisits should pull ATE toward the per-frame
+        noise floor (measured against "loop", where a single out-and-back
+        freezes but cannot cancel the outward-leg integral)."""
         self.num_imgs = num_frames
         self.desired_height = height
         self.desired_width = width
@@ -151,6 +158,17 @@ class SyntheticDataset:
             steps = np.concatenate(
                 [np.arange(apex + 1), apex - np.arange(1, num_frames - apex)]
             ).astype(np.float64)
+            angles = steps * rate + self._phase
+        elif trajectory == "scan":
+            # Three sweeps over the same territory at the pan's per-frame
+            # rate: leg length L, steps follow a triangle wave 0..L..0..L.
+            rate = 0.35 * motion_scale / max(num_frames - 1, 1)
+            legs = 3
+            leg_len = max((num_frames - 1 + legs - 1) // legs, 1)
+            i = np.arange(num_frames)
+            period = 2 * leg_len
+            tri = np.abs((i + leg_len) % period - leg_len)
+            steps = tri.astype(np.float64)
             angles = steps * rate + self._phase
         elif trajectory == "pan":
             angles = np.linspace(0, 0.35 * motion_scale, num_frames) + self._phase
