@@ -134,7 +134,7 @@ def run_stages(args, gm, cam, rcfg, q, t, color, depth_gt):
 
     def gather_fn(xy):
         rows = CP._pack_attrs_rows(xy, proj.conic, proj.opacity, channels)
-        return CP._split_row_gather(rows, ps.pad_gauss).T
+        return CP._pad_cols(CP._split_row_gather(rows, ps.pad_gauss)).T
 
     padded16 = jax.jit(gather_fn)(proj.xy)
     timed_loop("attr gather + transpose", gather_fn, proj.xy)

@@ -106,6 +106,10 @@ class PairStructure(NamedTuple):
     # per-iteration render then projects per PAIR with no gathers and no
     # pairs->gaussian gradient reduction (gradients stop at the pose).
     world16: jax.Array | None = None
+    # Fused isotropic tracking (render.pallas.fused_iso): [8, P_pad] world
+    # rows streamed straight into the kernels, which project per pair
+    # IN-KERNEL. Populated instead of world16 when the map is isotropic.
+    world8: jax.Array | None = None
 
 
 def _prep_gaussians(unnorm_rotations, logit_opacities, log_scales):
@@ -332,17 +336,28 @@ def render_rgbd_sil_pairspace(
     n_gauss: int,
 ) -> RenderOutput:
     """Pair-space tracking render (pallas backend only): per-pair EWA
-    projection of ps.world16 at pose (q, t), gradients pairs -> pose.
+    projection of ps.world16/world8 at pose (q, t), gradients pairs -> pose.
 
     Semantics match render_rgbd_sil under a reused pair_structure
-    (stale rects, fresh per-pair alpha); see render.pairspace."""
-    from splatam_tpu.render import pairspace
-    from splatam_tpu.render.pallas import composite_pallas
+    (stale rects, fresh per-pair alpha); see render.pairspace. With
+    ps.world8 (isotropic map) the projection happens INSIDE the Pallas
+    kernels (render.pallas.fused_iso) and pose grads come from two tiny
+    matmuls on the kernel's per-pair world grads."""
+    if ps.world8 is not None:
+        from splatam_tpu.render.pallas import fused_iso
 
-    padded16 = pairspace.project_pairs(
-        ps.world16, q, t, cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height
-    )
-    img = composite_pallas.composite_pairs(padded16, ps, cam.width, cam.height)
+        img = fused_iso.composite_fused_pairs(ps.world8, ps, cam, q, t)
+    else:
+        from splatam_tpu.render import pairspace
+        from splatam_tpu.render.pallas import composite_pallas
+
+        padded16 = pairspace.project_pairs(
+            ps.world16, q, t, cam.fx, cam.fy, cam.cx, cam.cy,
+            cam.width, cam.height,
+        )
+        img = composite_pallas.composite_pairs(
+            padded16, ps, cam.width, cam.height
+        )
     # pallas rows [r, g, b, z, z^2, sil] -> public [r, g, b, z, sil, z^2].
     return RenderOutput(
         im=img[:3],
@@ -350,6 +365,45 @@ def render_rgbd_sil_pairspace(
         silhouette=img[5],
         depth_sq=img[4],
         radii=jnp.zeros((n_gauss,), jnp.int32),  # unused by tracking
+        overflow=encode_overflow(ps.bins.overflow, jnp.int32(0)),
+        n_pairs=ps.bins.n_pairs,
+    )
+
+
+def render_rgbd_sil_mapping_fused(
+    cam: Camera,
+    ps: PairStructure,
+    means3d: jax.Array,
+    rgb_colors: jax.Array,
+    logit_opacities: jax.Array,
+    log_scales: jax.Array,  # [N, 1] isotropic
+    active: jax.Array,
+    q: jax.Array,
+    t: jax.Array,
+) -> RenderOutput:
+    """Mapping fused render (pallas backend, isotropic map): per-iteration
+    world-8 gather + in-kernel projection (render.pallas.fused_iso), with
+    gradients flowing to every gaussian parameter through the grouped
+    segmented reduction at half the generic row width. The pose is a
+    constant here (callers stop_gradient it, mirroring transform_to_frame's
+    mapping flags — utils/slam_helpers.py:266-288).
+
+    Semantics match render_rgbd_sil under a reused pair_structure: per-pair
+    alpha comes from the CURRENT params/pose, rects from the rebin-time
+    structure, and pruned gaussians are silenced via zeroed opacity."""
+    from splatam_tpu.render.pallas import fused_iso
+
+    img = fused_iso.composite_fused_gauss(
+        means3d, logit_opacities, log_scales, rgb_colors, active,
+        ps, cam, q, t,
+    )
+    # fused rows [r, g, b, z, z^2, sil] -> public layout.
+    return RenderOutput(
+        im=img[:3],
+        depth=img[3],
+        silhouette=img[5],
+        depth_sq=img[4],
+        radii=jnp.zeros((means3d.shape[0],), jnp.int32),  # stats path only
         overflow=encode_overflow(ps.bins.overflow, jnp.int32(0)),
         n_pairs=ps.bins.n_pairs,
     )

@@ -530,7 +530,8 @@ def composite_backward_pallas(attrs16, pad_start, lens, state, g_acc, grid_x,
 # ---------------------------------------------------------------------------
 
 
-def _reduce_kernel(width: int, g_last_ref, grads_ref, gid_ref, out_ref, carry):
+def _reduce_kernel(width: int, nrows: int, g_last_ref, grads_ref, gid_ref,
+                   out_ref, carry):
     """Segmented inclusive prefix-sum along the pair stream.
 
     grads block (ATTR_W, width), gid block (1, width) non-decreasing
@@ -553,9 +554,9 @@ def _reduce_kernel(width: int, g_last_ref, grads_ref, gid_ref, out_ref, carry):
 
     @pl.when(c == 0)
     def _():
-        carry[...] = jnp.zeros((ATTR_W, 1), jnp.float32)
+        carry[...] = jnp.zeros((nrows, 1), jnp.float32)
 
-    x = grads_ref[...]  # (ATTR_W, width)
+    x = grads_ref[...]  # (nrows, width)
     gl = gid_ref[...]  # (1, width)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
     lane_mod = jax.lax.rem(lane, C)
@@ -574,7 +575,7 @@ def _reduce_kernel(width: int, g_last_ref, grads_ref, gid_ref, out_ref, carry):
     # lane read at step u was updated by step u-1, preserving the chain.
     for u in range(1, width // C):
         b = u * C
-        xb = x[:, b - 1 : b]  # (ATTR_W, 1) running total at the boundary
+        xb = x[:, b - 1 : b]  # (nrows, 1) running total at the boundary
         gb = gl[:, b - 1 : b]  # (1, 1) boundary segment id
         mask = ((gl == gb) & (lane >= b) & (lane < b + C)).astype(jnp.float32)
         x = x + xb * mask
@@ -587,13 +588,14 @@ def _reduce_kernel(width: int, g_last_ref, grads_ref, gid_ref, out_ref, carry):
 
 
 def segment_reduce_scan_pallas(grads_grouped, gid_grouped):
-    """Run the segmented scan; returns [ATTR_W, P] where each segment's
+    """Run the segmented scan; returns [nrows, P] where each segment's
     last slot holds the segment total.
 
-    grads_grouped [ATTR_W, P] f32 (P a multiple of 128), gid_grouped [P]
-    int32 non-decreasing segment ids."""
-    p = grads_grouped.shape[1]
-    assert p % C == 0
+    grads_grouped [nrows, P] f32 (P a multiple of 128, nrows a multiple of
+    8 — the generic path scans ATTR_W=16 rows, the fused isotropic path 8),
+    gid_grouped [P] int32 non-decreasing segment ids."""
+    nrows, p = grads_grouped.shape
+    assert p % C == 0 and nrows % 8 == 0
     width = C
     for u in (8, 4, 2):
         if p % (u * C) == 0:
@@ -605,18 +607,18 @@ def segment_reduce_scan_pallas(grads_grouped, gid_grouped):
          gid_grouped[width - 1 :: width][: n_blocks - 1]]
     )
     return pl.pallas_call(
-        functools.partial(_reduce_kernel, width),
+        functools.partial(_reduce_kernel, width, nrows),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_blocks,),
             in_specs=[
-                pl.BlockSpec((ATTR_W, width), lambda c, *_: (0, c)),
+                pl.BlockSpec((nrows, width), lambda c, *_: (0, c)),
                 pl.BlockSpec((1, width), lambda c, *_: (0, c)),
             ],
-            out_specs=pl.BlockSpec((ATTR_W, width), lambda c, *_: (0, c)),
-            scratch_shapes=[pltpu.VMEM((ATTR_W, 1), jnp.float32)],
+            out_specs=pl.BlockSpec((nrows, width), lambda c, *_: (0, c)),
+            scratch_shapes=[pltpu.VMEM((nrows, 1), jnp.float32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((ATTR_W, p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nrows, p), jnp.float32),
     )(g_last, grads_grouped, gid_grouped.reshape(1, p))
 
 

@@ -131,7 +131,24 @@ def get_loss(
         tracking
         and not do_ba
         and pair_structure is not None
-        and pair_structure.world16 is not None
+        and (pair_structure.world16 is not None
+             or pair_structure.world8 is not None)
+    )
+    # Fused isotropic mapping path (render.pallas.fused_iso): the kernels
+    # project per pair in-kernel from an 8-column world gather, so the
+    # per-iteration O(N) projection + [16, P_pad] attr materialization and
+    # their VJPs disappear. Requires no means2d_dummy (the screen-space
+    # densification-stats harvest needs per-gaussian pix grads, which the
+    # world-space backward does not emit).
+    fusedmap_path = (
+        mapping
+        and not do_ba
+        and means2d_dummy is None
+        and mesh is None
+        and pair_structure is not None
+        and pair_structure.pad_gauss is not None
+        and gm.log_scales.shape[1] == 1
+        and rcfg.resolve_backend() == "pallas"
     )
     if pairspace_path:
         # Pair-space fast path (pallas backend): the gaussian params are
@@ -154,6 +171,13 @@ def get_loss(
             out = render_rgbd_sil_pairspace(
                 cam, pair_structure, q, t, gm.means3d.shape[0]
             )
+    elif fusedmap_path:
+        from splatam_tpu.render.api import render_rgbd_sil_mapping_fused
+
+        out = render_rgbd_sil_mapping_fused(
+            cam, pair_structure, gm.means3d, gm.rgb_colors,
+            gm.logit_opacities, gm.log_scales, gm.active, sg(q), sg(t),
+        )
     else:
         if tracking:
             means_cam, rots_cam = transform_to_frame(gm, q, t, False, True)
@@ -256,7 +280,8 @@ def get_loss(
 
 
 def loss_pair_structure(gm: GaussianMap, q, t, cam: Camera, rcfg: RenderConfig,
-                        with_world16: bool = False, mesh=None):
+                        with_world16: bool = False, mesh=None,
+                        prefer_w8: bool = True):
     """The reusable binning structure for a get_loss render at this pose and
     parameter snapshot (render.api.PairStructure).
 
@@ -270,8 +295,16 @@ def loss_pair_structure(gm: GaussianMap, q, t, cam: Camera, rcfg: RenderConfig,
     reuse composes with row sharding."""
     means_cam, rots_cam = transform_to_frame(gm, sg(q), sg(t), False, False)
 
+    # Isotropic maps use the fused in-kernel projection (8 world rows,
+    # render.pallas.fused_iso); anisotropic (or sharded) ones keep the
+    # generic 16-row pair-space path.
+    use_w8 = (
+        prefer_w8 and with_world16 and mesh is None
+        and gm.log_scales.shape[1] == 1
+        and rcfg.resolve_backend() == "pallas"
+    )
     world_rows = None
-    if with_world16:
+    if with_world16 and not use_w8:
         from splatam_tpu.render import pairspace
 
         world_rows = sg(pairspace.pack_world_rows(
@@ -301,6 +334,17 @@ def loss_pair_structure(gm: GaussianMap, q, t, cam: Camera, rcfg: RenderConfig,
         ps = ps._replace(
             world16=_pad_cols(_split_row_gather(world_rows, ps.pad_gauss)).T
         )
+    if use_w8 and ps.pad_gauss is not None:
+        from splatam_tpu.render.pallas import fused_iso
+        from splatam_tpu.render.pallas.composite_pallas import (
+            _split_row_gather,
+        )
+
+        w8 = sg(fused_iso.pack_world8(
+            gm.means3d, gm.logit_opacities, gm.log_scales, gm.rgb_colors,
+            gm.active,
+        ))
+        ps = ps._replace(world8=_split_row_gather(w8, ps.pad_gauss).T)
     return ps
 
 
@@ -593,7 +637,12 @@ def mapping_phase(
             else None
         )
 
-        dummy = jnp.zeros((gm.capacity, 2), jnp.float32)
+        # The screen-space dummy exists only to harvest 3DGS densification
+        # stats; without them, passing None unlocks the fused isotropic
+        # mapping path in get_loss.
+        dummy = (
+            jnp.zeros((gm.capacity, 2), jnp.float32) if track_stats else None
+        )
         (loss, aux), grad_out = grad_fn(
             params, dummy, active, q, t, color, depth_gt, ps
         )

@@ -82,7 +82,12 @@ def test_project_pairs_matches_gather_path(aniso):
     cam = _cam()
     q, t = _pose()
     rcfg = RenderConfig(backend="pallas", pair_cap=1 << 14)
-    ps = loss_pair_structure(gm, q, t, cam, rcfg, with_world16=True)
+    # prefer_w8=False: this test locks the GENERIC world16 pair-space path
+    # (isotropic maps otherwise route to render.pallas.fused_iso, which
+    # tests/test_fused_iso.py covers).
+    ps = loss_pair_structure(
+        gm, q, t, cam, rcfg, with_world16=True, prefer_w8=False
+    )
     assert ps.world16 is not None
 
     ref = _padded_ref(gm, q, t, cam, ps)

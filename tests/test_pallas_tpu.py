@@ -128,7 +128,11 @@ def test_pairspace_tracking_matches_standard_path():
     color = jnp.asarray(rng.uniform(0, 1, (3, 96, 160)), jnp.float32)
     depth_gt = jnp.asarray(rng.uniform(1, 5, (96, 160)), jnp.float32)
 
-    ps = loss_pair_structure(gm, q, t, cam, rcfg, with_world16=True)
+    # prefer_w8=False pins the GENERIC world16 pair-space path (isotropic
+    # maps otherwise route to the fused in-kernel projection, pinned below).
+    ps = loss_pair_structure(
+        gm, q, t, cam, rcfg, with_world16=True, prefer_w8=False
+    )
     assert ps.world16 is not None
 
     def loss_fast(qt):
@@ -147,4 +151,76 @@ def test_pairspace_tracking_matches_standard_path():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=5e-3,
             atol=2e-3 * float(np.max(np.abs(a))) + 1e-6,
+        )
+
+
+def test_fused_iso_matches_standard_path_on_tpu():
+    """The fused isotropic in-kernel projection (render.pallas.fused_iso) —
+    the production tracking AND mapping path for isotropic maps — matches
+    the standard per-gaussian projection + gather path on hardware, in
+    loss values, pose grads (tracking), and parameter grads (mapping).
+    (CPU interpret-mode parity lives in tests/test_fused_iso.py.)"""
+    from splatam_tpu.slam.steps import (
+        PhaseConfig, get_loss, loss_pair_structure,
+    )
+    from tests.test_pairspace import _GM, _cam, _pose, _scene
+
+    gm = _GM(*_scene(n=2000, seed=5))
+    cam = _cam(w=160, h=96)
+    q, t = _pose()
+    rcfg = RenderConfig(backend="pallas", pair_cap=1 << 15)
+    pcfg = PhaseConfig(
+        use_sil_for_loss=True, sil_thres=0.5, use_l1=True,
+        ignore_outlier_depth_loss=False, w_im=0.5, w_depth=1.0,
+    )
+    mcfg = PhaseConfig(
+        use_sil_for_loss=False, sil_thres=0.5, use_l1=True,
+        ignore_outlier_depth_loss=False, w_im=0.5, w_depth=1.0,
+    )
+    rng = np.random.default_rng(2)
+    color = jnp.asarray(rng.uniform(0, 1, (3, 96, 160)), jnp.float32)
+    depth_gt = jnp.asarray(rng.uniform(1, 5, (96, 160)), jnp.float32)
+
+    ps_w8 = loss_pair_structure(gm, q, t, cam, rcfg, with_world16=True)
+    assert ps_w8.world8 is not None and ps_w8.world16 is None
+
+    # -- tracking: fused pose grads vs the standard reuse path ----------
+    def loss_fused(qt):
+        return get_loss(gm, qt[0], qt[1], color, depth_gt, cam, pcfg, rcfg,
+                        True, False, pair_structure=ps_w8)[0]
+
+    def loss_std(qt):
+        return get_loss(gm, qt[0], qt[1], color, depth_gt, cam, pcfg, rcfg,
+                        True, False,
+                        pair_structure=ps_w8._replace(world8=None))[0]
+
+    lf, gf = jax.jit(jax.value_and_grad(loss_fused))((q, t))
+    ls, gs = jax.jit(jax.value_and_grad(loss_std))((q, t))
+    np.testing.assert_allclose(float(lf), float(ls), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(gf)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-3,
+            atol=2e-3 * float(np.max(np.abs(a))) + 1e-6,
+        )
+
+    # -- mapping: fused per-gaussian param grads vs the generic path ----
+    def map_grads(dummy):
+        def loss(params):
+            g2 = _GM(params[0], gm.unnorm_rotations, params[2],
+                     params[3], params[1], gm.active)
+            return get_loss(g2, q, t, color, depth_gt, cam, mcfg, rcfg,
+                            False, True, pair_structure=ps_w8,
+                            means2d_dummy=dummy)[0]
+
+        p = (gm.means3d, gm.rgb_colors, gm.logit_opacities, gm.log_scales)
+        return jax.jit(jax.value_and_grad(loss))(p)
+
+    lm_f, gm_f = map_grads(None)  # fused (no screen-space stats dummy)
+    lm_g, gm_g = map_grads(jnp.zeros((2000, 2), jnp.float32))  # generic
+    np.testing.assert_allclose(float(lm_f), float(lm_g), rtol=1e-4)
+    for name, a, b in zip(("means", "rgb", "logit_op", "log_scales"),
+                          gm_g, gm_f):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-3,
+            atol=2e-3 * float(np.max(np.abs(a))) + 1e-6, err_msg=name,
         )
