@@ -35,6 +35,7 @@ def main():
     ap.add_argument("--w", type=int, default=320)
     ap.add_argument("--pair_cap", type=int, default=1 << 18)
     ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--map_iters", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
@@ -56,7 +57,7 @@ def main():
         compute_pair_structure_sharded, make_mesh, shard_heights,
     )
     from splatam_tpu.render.api import RenderConfig, compute_pair_structure
-    from splatam_tpu.slam import steps
+    from splatam_tpu.slam import optim, steps
 
     rng = np.random.default_rng(0)
     n = args.n
@@ -127,27 +128,58 @@ def main():
             jax.block_until_ready(out[0])
 
         t_track = timed(track)
+
+        # Mapping phase (the 75% of a full-res frame): single-keyframe
+        # store, structure reuse on, same shapes the pipeline would run.
+        kf_colors = (np.asarray(color).transpose(1, 2, 0) * 255).astype(
+            np.uint8
+        )[None]
+        kf_depths = jnp.asarray(depth)[None]
+        mi = args.map_iters
+        params5 = (gm.means3d, gm.rgb_colors, gm.unnorm_rotations,
+                   gm.logit_opacities, gm.log_scales)
+        opt_state = optim.adam_init(params5)
+        zeros = jnp.zeros((n,), jnp.float32)
+        mcfg = steps.PhaseConfig(False, 0.5, True, False, 0.5, 1.0)
+        prune_cfg = steps.PruneConfig()
+
+        def mapping():
+            out = steps.mapping_phase(
+                gm, jnp.asarray(kf_colors), kf_depths,
+                jnp.zeros((mi,), jnp.int32),
+                jnp.tile(q[None], (mi, 1)), jnp.tile(t[None], (mi, 1)),
+                jnp.float32(3.0), cam, mi, mcfg, rcfg, prune_cfg,
+                (2e-4, 2.5e-3, 1e-3, 5e-2, 1e-3), opt_state,
+                (zeros, zeros, zeros), mesh=mesh,
+                reuse_structures=True, struct_qs=q[None], struct_ts=t[None],
+                iter_struct_idx=jnp.zeros((mi,), jnp.int32),
+                n_structs=jnp.int32(1),
+            )
+            jax.block_until_ready(out[0].means3d)
+
+        t_map = timed(mapping)
         tot = sum(shard_pairs)
         rows.append(
             dict(shards=n_sh, pairs_max=max(shard_pairs),
                  pairs_total=tot, dup=tot / base_pairs,
-                 track_s=t_track)
+                 track_s=t_track, map_s=t_map)
         )
         print(
             f"shards={n_sh}: per-shard pairs max={max(shard_pairs)}"
             f" ({max(shard_pairs)/base_pairs:.3f}x of unsharded),"
             f" total={tot} (dup factor {tot/base_pairs:.3f}),"
-            f" tracking {args.iters} iters: {t_track:.3f}s total-work"
+            f" tracking {args.iters} iters: {t_track:.3f}s,"
+            f" mapping {mi} iters: {t_map:.3f}s total-work"
         )
 
-    base = rows[0]["track_s"]
+    base_t, base_m = rows[0]["track_s"], rows[0]["map_s"]
     print("\nsummary (single-core host: wall ~= total work across shards):")
     for r in rows:
-        overhead = r["track_s"] / base
-        per_chip = overhead / r["shards"]
+        ot, om = r["track_s"] / base_t, r["map_s"] / base_m
         print(
-            f"  shards={r['shards']}: total-work {overhead:.2f}x unsharded"
-            f" -> projected per-chip latency {per_chip:.2f}x"
+            f"  shards={r['shards']}: total-work track {ot:.2f}x / map"
+            f" {om:.2f}x unsharded -> projected per-chip latency"
+            f" track {ot/r['shards']:.2f}x / map {om/r['shards']:.2f}x"
             f" (+ collectives), max-shard pairs {r['pairs_max']}"
         )
 
