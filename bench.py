@@ -178,6 +178,16 @@ def main():
         "n_gaussians_final": int(rt.gm.num_active()),
     }
     print(json.dumps(result))
+    # Exit 0 deterministically. BENCH_r04 recorded rc=134: a daemon
+    # background-compile thread still inside PJRT when the interpreter
+    # finalized aborted the process AFTER the JSON printed. os._exit skips
+    # the Python/PJRT destructor teardown altogether (no atexit, no C++
+    # static destructors), so no late exception can change the exit code —
+    # and no multi-minute join on a speculative trailing precompile either
+    # (SLAMRuntime.shutdown covers the normal rgbd_slam exit path).
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":

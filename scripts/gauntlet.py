@@ -61,6 +61,18 @@ THRESHOLDS = {
     # add_new_gaussians semantics (depth-error term) reproduce this at
     # this drift rate. Gates ~25% above measured (0.549 / 26.7).
     "scan": {"ate_cm": 0.7, "psnr": 25.0},
+    # Full-resolution Replica-conditions variant (round 5): 1200x680 — the
+    # reference's Replica benchmark resolution (configs/data/replica.yaml)
+    # — at HALF the clean variant's per-frame motion (motion_scale 0.5 ~
+    # Replica's ~0.25deg/frame traj.txt scans) with a third texture octave
+    # (Replica-room texture density), 40 tracking / 60 mapping iters
+    # (configs/replica/splatam.py:12-16). This MEASURES the drift-rate
+    # model that carries the north star (GAUNTLET.md round-4: "0.4 cm is
+    # reachable at real Replica drift rates"): the gate is the north star
+    # itself, <=0.4 cm ATE and >=34 PSNR (BASELINE.md), not a calibrated
+    # regression margin. Run: python scripts/gauntlet.py --variant replica
+    # --h 680 --w 1200 --track_iters 40 [--frames 120].
+    "replica": {"ate_cm": 0.4, "psnr": 34.0},
 }
 
 
@@ -86,6 +98,11 @@ def run_variant(name: str, frames: int, h: int, w: int, rebin: int,
     # motion_scale 3 turns this into a whole-room stress scan with a
     # multi-million-gaussian map) + optional TUM-like depth noise.
     config["data"]["motion_scale"] = 2.0
+    if name == "replica":
+        # Replica-conditions: half the clean variant's per-frame motion and
+        # a denser texture (see THRESHOLDS["replica"] note).
+        config["data"]["motion_scale"] = 0.5
+        config["data"]["texture_octaves"] = 3
     # Tracking lr annealing (steps.tracking_phase lr_decay_frac): constant
     # -lr Adam orbits the minimum at an lr-proportional radius — a
     # per-frame pose accuracy floor that accumulates as drift. Measured on
@@ -139,7 +156,8 @@ def main():
     ap.add_argument("--rebin", type=int, default=8)
     ap.add_argument("--track_iters", type=int, default=60)
     ap.add_argument("--variant", default="all",
-                    choices=["clean", "noise", "loop", "scan", "both", "all"])
+                    choices=["clean", "noise", "loop", "scan", "replica",
+                             "both", "all"])
     ap.add_argument("--workdir", default="/tmp/splatam_gauntlet")
     ap.add_argument("--c2f", default="",
                     help="coarse-to-fine levels 'factor:iters,...', e.g. '4:10,2:10'")

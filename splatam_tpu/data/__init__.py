@@ -49,6 +49,7 @@ def get_dataset(config_dict, basedir, sequence, **kwargs):
             "motion_scale": config_dict.get("motion_scale", 1.0),
             "depth_noise_sigma": config_dict.get("depth_noise_sigma", 0.0),
             "trajectory": config_dict.get("trajectory", "pan"),
+            "texture_octaves": config_dict.get("texture_octaves", 2),
         }
         return SyntheticDataset(**synth_kwargs)
     else:

@@ -27,13 +27,16 @@ def _look_at(eye, target, up=(0.0, -1.0, 0.0)):
     return c2w
 
 
-def _texture(p: np.ndarray) -> np.ndarray:
+def _texture(p: np.ndarray, octaves: int = 2) -> np.ndarray:
     """Procedural 3D texture -> [N, 3] colors in [0, 1].
 
-    Two octaves: the smooth base plus a higher-frequency detail band —
-    without the detail band the photometric loss is nearly gradient-free
-    over meter scales and camera drift along textureless walls is a scene
-    ambiguity rather than a tracker property."""
+    Two octaves by default: the smooth base plus a higher-frequency detail
+    band — without the detail band the photometric loss is nearly
+    gradient-free over meter scales and camera drift along textureless
+    walls is a scene ambiguity rather than a tracker property. octaves=3
+    adds a third, finer band (Replica-room-class texture density for the
+    full-resolution gauntlet variant; default-2 keeps every previously
+    calibrated gauntlet/bench scene bit-identical)."""
     x, y, z = p[..., 0], p[..., 1], p[..., 2]
     r = 0.5 + 0.35 * np.sin(2.1 * x + 0.5) * np.cos(1.7 * z)
     g = 0.5 + 0.35 * np.sin(1.3 * y + 1.1) * np.cos(2.3 * x)
@@ -41,6 +44,10 @@ def _texture(p: np.ndarray) -> np.ndarray:
     d = 0.12 * np.sin(7.9 * x + 1.7) * np.sin(6.3 * y + 0.4) * np.sin(8.7 * z)
     d2 = 0.08 * np.cos(12.1 * x) * np.cos(9.7 * z + 2.2)
     out = np.stack([r + d, g + d2, b + 0.5 * (d + d2)], axis=-1)
+    if octaves >= 3:
+        f = 0.05 * np.sin(23.3 * x + 0.9) * np.cos(19.1 * y)
+        f2 = 0.05 * np.cos(27.7 * z + 1.3) * np.sin(21.9 * x + 2.6)
+        out = out + np.stack([f, f2, 0.5 * (f + f2)], axis=-1)
     return np.clip(out, 0.0, 1.0)
 
 
@@ -115,6 +122,7 @@ class SyntheticDataset:
         relative_pose: bool = True,
         depth_noise_sigma: float = 0.0,
         trajectory: str = "pan",
+        texture_octaves: int = 2,
     ):
         """depth_noise_sigma > 0 adds per-pixel gaussian depth noise scaled
         by depth (sigma in meters at 1 m — TUM-like sensor behavior),
@@ -144,6 +152,7 @@ class SyntheticDataset:
         self.room_half = room_half
         self.png_depth_scale = 1.0
         self.depth_noise_sigma = float(depth_noise_sigma)
+        self.texture_octaves = int(texture_octaves)
         self._seed = seed
 
         rng = np.random.default_rng(seed)
@@ -222,7 +231,7 @@ class SyntheticDataset:
         t = np.minimum(t, _raycast_pillar(origins, dirs_world))
         depth = t  # z-depth: dirs_cam z component is 1, so t*|d| z-proj == t
         pts = origins + t[..., None] * dirs_world
-        color = _texture(pts) * 255.0
+        color = _texture(pts, self.texture_octaves) * 255.0
         return color.astype(np.float32), depth.astype(np.float32)[..., None]
 
     def __getitem__(self, index):

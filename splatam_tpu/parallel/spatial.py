@@ -61,6 +61,7 @@ def compute_pair_structure_sharded(
     active: jax.Array,
     rcfg: RenderConfig,
     world_rows: jax.Array | None = None,
+    world_rows8: jax.Array | None = None,
 ):
     """Row-sharded render.api.compute_pair_structure: every shard expands,
     sorts, and lays out ONLY the (gaussian, tile) pairs of its own row block
@@ -71,7 +72,10 @@ def compute_pair_structure_sharded(
 
     rcfg.pair_cap is the PER-SHARD pair budget. `world_rows` ([N, 16],
     render.pairspace.pack_world_rows) additionally gathers each shard's
-    world16 for the pair-space tracking path.
+    world16 for the generic pair-space tracking path; `world_rows8`
+    ([N, 8], render.pallas.fused_iso.pack_world8) gathers the isotropic
+    world-8 rows instead, unlocking the fused in-kernel-projection path
+    per shard (mutually exclusive with world_rows).
 
     Returns a PairStructure pytree whose leaves carry a leading
     [n_shards, ...] device axis (sharded over the mesh); feed it back to
@@ -82,6 +86,7 @@ def compute_pair_structure_sharded(
     n_shards = mesh.devices.size
     h_local, _ = shard_heights(cam.height, n_shards)
     cam_local = cam._replace(height=h_local)
+    w8 = world_rows8 is not None
 
     def build(means_cam, rots_cam, logit_op, log_scales, active, *maybe_world):
         row0 = (jax.lax.axis_index(AXIS) * h_local).astype(jnp.float32)
@@ -99,16 +104,21 @@ def compute_pair_structure_sharded(
                 _pad_cols, _split_row_gather,
             )
 
-            ps = ps._replace(
-                world16=_pad_cols(
-                    _split_row_gather(maybe_world[0], ps.pad_gauss)
-                ).T
-            )
+            if w8:
+                ps = ps._replace(
+                    world8=_split_row_gather(maybe_world[0], ps.pad_gauss).T
+                )
+            else:
+                ps = ps._replace(
+                    world16=_pad_cols(
+                        _split_row_gather(maybe_world[0], ps.pad_gauss)
+                    ).T
+                )
         return jax.tree.map(lambda x: x[None], ps)
 
     args = (means_cam, rots_cam, logit_opacities, log_scales, active)
-    if world_rows is not None:
-        args = args + (world_rows,)
+    if world_rows is not None or w8:
+        args = args + (world_rows8 if w8 else world_rows,)
     fn = jax.shard_map(
         build,
         mesh=mesh,
@@ -128,17 +138,24 @@ def render_rgbd_sil_pairspace_sharded(
     n_gauss: int,
 ) -> RenderOutput:
     """Row-sharded render.api.render_rgbd_sil_pairspace: each shard projects
-    its OWN world16 pairs at pose (q, t) against its cy-shifted row block
-    and composites locally; the row blocks are all-gathered and the pose
-    cotangents psum automatically through shard_map's replicated-input
+    its OWN world16/world8 pairs at pose (q, t) against its cy-shifted row
+    block and composites locally; the row blocks are all-gathered and the
+    pose cotangents psum automatically through shard_map's replicated-input
     transpose. Numerics per pixel are identical to the single-chip
-    pair-space path (pixel math never crosses row blocks)."""
+    pair-space path (pixel math never crosses row blocks). With ps.world8
+    (isotropic map) each shard runs the fused in-kernel-projection kernels
+    (render.pallas.fused_iso) on its row block — the cy shift and the
+    full-image frustum limits ride the kernels' dynamic pose vector."""
     from splatam_tpu.render import pairspace
-    from splatam_tpu.render.pallas import composite_pallas
+    from splatam_tpu.render.pallas import composite_pallas, fused_iso
 
     n_shards = mesh.devices.size
     h_local, _ = shard_heights(cam.height, n_shards)
     h_full = cam.height
+    cam_local = cam._replace(height=h_local)
+    use_w8 = ps_sh.world8 is not None
+    limx = 1.3 * (cam.width / (2.0 * cam.fx))
+    limy = 1.3 * (h_full / (2.0 * cam.fy))
 
     @partial(
         jax.shard_map,
@@ -150,15 +167,25 @@ def render_rgbd_sil_pairspace_sharded(
     def rend(ps_sh, q, t):
         ps = _local(ps_sh)
         row0 = (jax.lax.axis_index(AXIS) * h_local).astype(jnp.float32)
-        padded16 = pairspace.project_pairs(
-            ps.world16, q, t,
-            jnp.float32(cam.fx), jnp.float32(cam.fy),
-            jnp.float32(cam.cx), jnp.float32(cam.cy) - row0,
-            cam.width, h_local, lim_wh=(cam.width, h_full),
-        )
-        img = composite_pallas.composite_pairs(
-            padded16, ps, cam.width, h_local
-        )
+        if use_w8:
+            intr = jnp.stack(
+                [jnp.float32(cam.fx), jnp.float32(cam.fy),
+                 jnp.float32(cam.cx), jnp.float32(cam.cy) - row0,
+                 jnp.float32(limx), jnp.float32(limy)]
+            )
+            img = fused_iso.composite_fused_pairs(
+                ps.world8, ps, cam_local, q, t, intr_vec=intr
+            )
+        else:
+            padded16 = pairspace.project_pairs(
+                ps.world16, q, t,
+                jnp.float32(cam.fx), jnp.float32(cam.fy),
+                jnp.float32(cam.cx), jnp.float32(cam.cy) - row0,
+                cam.width, h_local, lim_wh=(cam.width, h_full),
+            )
+            img = composite_pallas.composite_pairs(
+                padded16, ps, cam.width, h_local
+            )
         img_full = jax.lax.all_gather(img, AXIS, axis=1, tiled=True)
         overflow = jax.lax.pmax(ps.bins.overflow, AXIS)
         n_pairs = jax.lax.psum(ps.bins.n_pairs, AXIS)
@@ -173,6 +200,73 @@ def render_rgbd_sil_pairspace_sharded(
         silhouette=img[5],
         depth_sq=img[4],
         radii=jnp.zeros((n_gauss,), jnp.int32),  # unused by tracking
+        overflow=encode_overflow(overflow, jnp.int32(0)),
+        n_pairs=n_pairs,
+    )
+
+
+def render_rgbd_sil_mapping_fused_sharded(
+    mesh: Mesh,
+    cam: Camera,
+    ps_sh,
+    means3d: jax.Array,
+    rgb_colors: jax.Array,
+    logit_opacities: jax.Array,
+    log_scales: jax.Array,
+    active: jax.Array,
+    q: jax.Array,
+    t: jax.Array,
+) -> RenderOutput:
+    """Row-sharded render.api.render_rgbd_sil_mapping_fused: each shard
+    runs the fused isotropic gauss kernels (render.pallas.fused_iso) on its
+    own row-block pair structure; the gaussian params are replicated
+    inputs, so their per-shard world-space gradients psum automatically
+    through shard_map's transpose. Stats-free by the same contract as the
+    single-chip fused mapping path (radii are all-zero)."""
+    from splatam_tpu.render.pallas import fused_iso
+
+    n_shards = mesh.devices.size
+    h_local, _ = shard_heights(cam.height, n_shards)
+    h_full = cam.height
+    cam_local = cam._replace(height=h_local)
+    limx = 1.3 * (cam.width / (2.0 * cam.fx))
+    limy = 1.3 * (h_full / (2.0 * cam.fy))
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def rend(ps_sh, means3d, rgb, logit_op, log_scales, active, q, t):
+        ps = _local(ps_sh)
+        row0 = (jax.lax.axis_index(AXIS) * h_local).astype(jnp.float32)
+        intr = jnp.stack(
+            [jnp.float32(cam.fx), jnp.float32(cam.fy),
+             jnp.float32(cam.cx), jnp.float32(cam.cy) - row0,
+             jnp.float32(limx), jnp.float32(limy)]
+        )
+        img = fused_iso.composite_fused_gauss(
+            means3d, logit_op, log_scales, rgb, active, ps, cam_local, q, t,
+            intr_vec=intr,
+        )
+        img_full = jax.lax.all_gather(img, AXIS, axis=1, tiled=True)
+        overflow = jax.lax.pmax(ps.bins.overflow, AXIS)
+        n_pairs = jax.lax.psum(ps.bins.n_pairs, AXIS)
+        return img_full, overflow, n_pairs
+
+    img, overflow, n_pairs = rend(
+        ps_sh, means3d, rgb_colors, logit_opacities, log_scales, active, q, t
+    )
+    img = img[:, :h_full, :]
+    # fused rows [r, g, b, z, z^2, sil] -> public layout.
+    return RenderOutput(
+        im=img[:3],
+        depth=img[3],
+        silhouette=img[5],
+        depth_sq=img[4],
+        radii=jnp.zeros((means3d.shape[0],), jnp.int32),  # stats-free
         overflow=encode_overflow(overflow, jnp.int32(0)),
         n_pairs=n_pairs,
     )

@@ -390,7 +390,15 @@ def render_rgbd_sil_mapping_fused(
 
     Semantics match render_rgbd_sil under a reused pair_structure: per-pair
     alpha comes from the CURRENT params/pose, rects from the rebin-time
-    structure, and pruned gaussians are silenced via zeroed opacity."""
+    structure, and pruned gaussians are silenced via zeroed opacity.
+
+    STATS-FREE BY CONTRACT: the returned radii are all-zero (the in-kernel
+    projection never materializes per-gaussian screen radii), so any
+    consumer of 3DGS densification stats ('seen = radii > 0',
+    slam/steps.py mapping body) would silently see every gaussian as
+    unseen. get_loss enforces this by routing here only when
+    means2d_dummy is None, which mapping_phase passes only with
+    track_stats=False — keep that gate in sync with this return."""
     from splatam_tpu.render.pallas import fused_iso
 
     img = fused_iso.composite_fused_gauss(
@@ -403,7 +411,9 @@ def render_rgbd_sil_mapping_fused(
         depth=img[3],
         silhouette=img[5],
         depth_sq=img[4],
-        radii=jnp.zeros((means3d.shape[0],), jnp.int32),  # stats path only
+        # All-zero by contract (see docstring): callers needing real radii
+        # must use the generic path (pass a means2d_dummy to get_loss).
+        radii=jnp.zeros((means3d.shape[0],), jnp.int32),
         overflow=encode_overflow(ps.bins.overflow, jnp.int32(0)),
         n_pairs=ps.bins.n_pairs,
     )

@@ -129,6 +129,49 @@ def _row_to_col(x):
     )
 
 
+def _post_chunk_t(skip, live, u, t_before, t_col, done_col, cp_last):
+    """Post-chunk transmittance update for the forward kernels.
+
+    The common case — no live pixel crosses T_EPS in this chunk — is just
+    T *= prod(om) for live pixels (cp_last = inclusive chunk product at the
+    last lane, (PIX, 1)). The reference's freeze semantics (renderCUDA
+    keeps T at its value BEFORE the terminating gaussian, which is never
+    applied) need several full-width selects and lane reductions; measured
+    scene statistics show termination almost never fires at steady state
+    (docs/PERFORMANCE.md round-4 "saturation trim" entry), so that block
+    runs under a lax.cond and costs nothing on the common path. Exactness
+    is unconditional: the branch executes whenever any pixel terminates."""
+    u_last = u[:, C - 1 : C]
+    any_term_now = jnp.max(
+        jnp.where(live & (u_last < T_EPS) & (t_col >= T_EPS), 1.0, 0.0)
+    ) > 0.5
+
+    def freeze(skip, live, u, t_before, t_col, done_col, cp_last):
+        term_first = (
+            (~skip) & live & (u < T_EPS) & (t_before >= T_EPS)
+        ).astype(jnp.float32)
+        t_term = jnp.max(t_before * term_first, axis=1, keepdims=True)
+        any_term = (
+            live & (u[:, C - 1 : C] < T_EPS) & (t_col >= T_EPS)
+        ).astype(jnp.float32)
+        t_live = t_col * cp_last
+        t_new = jnp.where(
+            done_col > 0.5, t_col, jnp.where(any_term > 0.5, t_term, t_live)
+        )
+        return t_new, jnp.maximum(done_col, any_term)
+
+    def no_freeze(skip, live, u, t_before, t_col, done_col, cp_last):
+        return (
+            jnp.where(done_col > 0.5, t_col, t_col * cp_last),
+            done_col,
+        )
+
+    return jax.lax.cond(
+        any_term_now, freeze, no_freeze,
+        skip, live, u, t_before, t_col, done_col, cp_last,
+    )
+
+
 def _alpha_block(a, k_base, num, ox, oy, pxc, pyc, lane_idx):
     """Per-chunk alpha quantities in (PIX, C) orientation.
 
@@ -203,9 +246,11 @@ def _fwd_kernel(grid_x: int, ch: int, pad_start_ref, lens_ref, attrs_hbm,
         # Inclusive lane cumprod in log space: om in [0.01, 1] (0.99 alpha
         # clamp; skip lanes hold exactly 1.0 -> log 0), so the log-sum is
         # well-conditioned and one MXU matmul replaces the 7-roll scan.
+        # Only the EXCLUSIVE cumprod is materialized full-width; the
+        # inclusive cp is consumed at a single column (t_live in
+        # _post_chunk_t), reconstructed there as cpe*om.
         lg = _accurate_log(om)
         lgcum = _lane_matmul(lg, ltri)
-        cp = jnp.exp(lgcum)
         cpe = jnp.exp(lgcum - lg)  # exclusive cumprod
         t_before = t_col * cpe
         # Transmittance u = t_col*cp is monotone non-increasing along lanes
@@ -223,26 +268,12 @@ def _fwd_kernel(grid_x: int, ch: int, pad_start_ref, lens_ref, attrs_hbm,
             chan, weight, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        # Post-chunk transmittance: a terminating pixel keeps its T at the
-        # FIRST crossing lane (u drops below T_EPS exactly where the
-        # previous non-skipped u — which equals t_before here — was still
-        # above), max-selectable since zero elsewhere; a live
-        # non-terminating pixel multiplies by the chunk product cp[last];
-        # a previously-done pixel keeps t_col.
-        term_first = (
-            (~q["skip"]) & live & (u < T_EPS) & (t_before >= T_EPS)
-        ).astype(jnp.float32)
-        t_term = jnp.max(t_before * term_first, axis=1, keepdims=True)
-        any_term = (
-            live & (u[:, C - 1 : C] < T_EPS) & (t_col >= T_EPS)
-        ).astype(jnp.float32)
-        t_live = t_col * cp[:, C - 1 : C]
-        t_col = jnp.where(
-            done_col > 0.5, t_col, jnp.where(any_term > 0.5, t_term, t_live)
-        )
-        done_col = jnp.maximum(done_col, any_term)
         kplus = jnp.where(applied, (lane_idx + i * C + 1).astype(jnp.float32), 0.0)
         nc_col = jnp.maximum(nc_col, jnp.max(kplus, axis=1, keepdims=True))
+        t_col, done_col = _post_chunk_t(
+            q["skip"], live, u, t_before, t_col, done_col,
+            cpe[:, C - 1 : C] * om[:, C - 1 : C],
+        )
         all_done = jnp.min(done_col) > 0.5
         cursor = jnp.where(all_done, n_chunks, i + 1)
         return (cursor, i + 1, t_col, done_col, nc_col, acc)
@@ -391,11 +422,15 @@ def _bwd_kernel(grid_x: int, ch: int, pad_start_ref, lens_ref, attrs_hbm,
         lg = _accurate_log(om)  # om in [0.01, 1]; non-applied lanes exactly 1.0
         lgsuf = _lane_matmul(lg, utri)
         s_rev = jnp.exp(lgsuf)  # prod_{j>=c} om_j
-        r = bvec * jnp.exp(-lgsuf)
+        inv_s_rev = jnp.exp(-lgsuf)
+        r = bvec * inv_s_rev
         v_inc = s_rev * (v_end + _lane_matmul(r, utri))  # (PIX, C)
         v_next = jnp.where(lane_idx < C - 1, pltpu.roll(v_inc, C - 1, 1), v_end)
 
-        t_before = t_end / s_rev  # exact for applied entries
+        # t_end * exp(-lgsuf) == t_end / s_rev (exact for applied entries);
+        # the multiply reuses the exp the r-scaling already needs, saving a
+        # full-width divide per chunk.
+        t_before = t_end * inv_s_rev
         weight = jnp.where(applied, q["alpha"] * t_before, 0.0)  # (PIX, C)
         # dL/dchan[ch,c] = sum_p weight[p,c] gacc[ch,p]
         dchan = jax.lax.dot_general(
@@ -451,7 +486,7 @@ def _bwd_kernel(grid_x: int, ch: int, pad_start_ref, lens_ref, attrs_hbm,
         )
         out_dma(i).start()
 
-        t_end = t_end / s_rev[:, 0:1]
+        t_end = t_end * inv_s_rev[:, 0:1]
         v_end = v_inc[:, 0:1]
         return (i - 1, t_end, v_end)
 

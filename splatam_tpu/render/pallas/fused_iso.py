@@ -59,6 +59,7 @@ from splatam_tpu.render.pallas.composite_pallas import (
     _lane_idx,
     _lane_matmul,
     _pix_cols,
+    _post_chunk_t,
     _row_to_col,
     _tri_lanes,
 )
@@ -166,7 +167,15 @@ def _project_rows(a, pose, width: float, height: float):
 
 def _alpha_rows(p, k_base, num, ox, oy, pxc, pyc, lane_idx):
     """Per-chunk alpha quantities from projected rows (same rules as
-    composite_pallas._alpha_block)."""
+    composite_pallas._alpha_block).
+
+    The skip mask deliberately omits in_front/det_ok: binning already
+    excluded behind-camera / degenerate gaussians when the pair structure
+    was built, and a gaussian pushed behind the near plane by pose drift
+    WITHIN a structure-reuse window composites at safe_tz=1 coordinates —
+    intentionally matching render.pairspace.project_pairs' safe_tz
+    semantics under stale structures (the generic reuse path behaves
+    identically; rebin_every bounds the staleness)."""
     dx = (p["pix_x"] - ox) - pxc  # (PIX, C)
     dy = (p["pix_y"] - oy) - pyc
     power = (
@@ -238,7 +247,9 @@ def _fused_fwd_kernel(grid_x: int, width: float, height: float,
         om = 1.0 - ae
         lg = _accurate_log(om)
         lgcum = _lane_matmul(lg, ltri)
-        cp = jnp.exp(lgcum)
+        # Exclusive cumprod only; the inclusive cp is consumed at a single
+        # column (t_live), reconstructed there as cpe*om — one fewer
+        # full-width exp per chunk.
         cpe = jnp.exp(lgcum - lg)
         t_before = t_col * cpe
         u = t_before * om
@@ -253,20 +264,12 @@ def _fused_fwd_kernel(grid_x: int, width: float, height: float,
             chan, weight, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        term_first = (
-            (~q["skip"]) & live & (u < T_EPS) & (t_before >= T_EPS)
-        ).astype(jnp.float32)
-        t_term = jnp.max(t_before * term_first, axis=1, keepdims=True)
-        any_term = (
-            live & (u[:, C - 1 : C] < T_EPS) & (t_col >= T_EPS)
-        ).astype(jnp.float32)
-        t_live = t_col * cp[:, C - 1 : C]
-        t_col = jnp.where(
-            done_col > 0.5, t_col, jnp.where(any_term > 0.5, t_term, t_live)
-        )
-        done_col = jnp.maximum(done_col, any_term)
         kplus = jnp.where(applied, (lane_idx + i * C + 1).astype(jnp.float32), 0.0)
         nc_col = jnp.maximum(nc_col, jnp.max(kplus, axis=1, keepdims=True))
+        t_col, done_col = _post_chunk_t(
+            q["skip"], live, u, t_before, t_col, done_col,
+            cpe[:, C - 1 : C] * om[:, C - 1 : C],
+        )
         all_done = jnp.min(done_col) > 0.5
         cursor = jnp.where(all_done, n_chunks, i + 1)
         return (cursor, i + 1, t_col, done_col, nc_col, acc)
@@ -403,11 +406,13 @@ def _fused_bwd_kernel(grid_x: int, width: float, height: float,
         lg = _accurate_log(om)
         lgsuf = _lane_matmul(lg, utri)
         s_rev = jnp.exp(lgsuf)
-        r = bvec * jnp.exp(-lgsuf)
+        inv_s_rev = jnp.exp(-lgsuf)
+        r = bvec * inv_s_rev
         v_inc = s_rev * (v_end + _lane_matmul(r, utri))
         v_next = jnp.where(lane_idx < C - 1, pltpu.roll(v_inc, C - 1, 1), v_end)
 
-        t_before = t_end / s_rev
+        # t_end * exp(-lgsuf) == t_end / s_rev; reuses the exp r needs.
+        t_before = t_end * inv_s_rev
         weight = jnp.where(applied, q["alpha"] * t_before, 0.0)
         dchan = jax.lax.dot_general(
             gacc, weight, (((1,), (0,)), ((), ())),
@@ -521,7 +526,7 @@ def _fused_bwd_kernel(grid_x: int, width: float, height: float,
         )
         out_dma(i).start()
 
-        t_end = t_end / s_rev[:, 0:1]
+        t_end = t_end * inv_s_rev[:, 0:1]
         v_end = v_inc[:, 0:1]
         return (i - 1, t_end, v_end)
 
@@ -595,16 +600,33 @@ def fused_backward_pallas(world8, pose_vec, pad_start, lens, state, g_acc,
 # custom_vjp cores
 # ---------------------------------------------------------------------------
 # `geom` is a hashable static tuple: (grid_x, num_tiles, width, height,
-# fx, fy, cx, cy, limx, limy[, need_pose_grads]). need_pose_grads defaults
-# True; the mapping path passes False — its pose sits behind stop_gradient,
-# but the (3, P) contraction producing d_rmat/d_t is NOT dead-code-
-# eliminable (the cotangent is consumed by build_rotation's VJP before the
-# stop_gradient zeroes it), so it must be skipped statically.
+# fx, fy, cx, cy, limx, limy). The pairs core (tracking) computes pose
+# grads; the gauss core (mapping) statically returns zero pose cotangents —
+# its pose sits behind stop_gradient, but the (3, P) contraction producing
+# d_rmat/d_t would NOT be dead-code-eliminable (the cotangent is consumed
+# by build_rotation's VJP before the stop_gradient zeroes it), so it is
+# omitted in _fused_gauss_bwd rather than gated at runtime.
 
 
-def _pose_vec_from(rmat, t, geom):
-    fx, fy, cx, cy, limx, limy = geom[4:10]
-    return make_pose_vec(rmat, t, fx, fy, cx, cy, limx, limy)
+def _pose_vec_from(rmat, t, geom, intr_vec):
+    """intr_vec ([6] f32: fx, fy, cx, cy, limx, limy) carries the
+    intrinsics DYNAMICALLY — the row-sharded path shifts cy per shard (a
+    traced value inside shard_map) and takes limy from the FULL image
+    height, so they ride the pose vector, not the static geom (which keeps
+    only grid/width/height). Single-chip callers build it from geom via
+    _default_intr."""
+    return jnp.concatenate(
+        [
+            rmat.reshape(9).astype(jnp.float32),
+            t.reshape(3).astype(jnp.float32),
+            intr_vec.astype(jnp.float32),
+            jnp.zeros((POSE_LEN - 18,), jnp.float32),
+        ]
+    )
+
+
+def _default_intr(geom):
+    return jnp.asarray(geom[4:10], jnp.float32)
 
 
 def _pose_grads(rmat, dattrs, mw_rows):
@@ -614,7 +636,14 @@ def _pose_grads(rmat, dattrs, mw_rows):
     dR[i, j] = sum_p dmc_i mw_j = (R dmw) mw^T — two tiny matmuls instead
     of a pairs->pose VJP pass."""
     dmw = dattrs[0:3, :]  # (3, P_pad)
-    dmc = rmat @ dmw
+    # HIGHEST precision to match the d_rmat contraction below: the default
+    # can round through bf16 on TPU, and d_t sums this product over millions
+    # of pair slots.
+    dmc = jax.lax.dot_general(
+        rmat, dmw, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     d_t = jnp.sum(dmc, axis=1)
     d_rmat = jax.lax.dot_general(
         dmc, mw_rows, (((1,), (1,)), ((), ())),
@@ -624,15 +653,17 @@ def _pose_grads(rmat, dattrs, mw_rows):
     return d_rmat, d_t
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _fused_pairs_core(world8pad, rmat, t, pad_start, lens, geom):
-    out, _ = _fused_pairs_fwd(world8pad, rmat, t, pad_start, lens, geom)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _fused_pairs_core(world8pad, rmat, t, pad_start, lens, intr_vec, geom):
+    out, _ = _fused_pairs_fwd(
+        world8pad, rmat, t, pad_start, lens, intr_vec, geom
+    )
     return out
 
 
-def _fused_pairs_fwd(world8pad, rmat, t, pad_start, lens, geom):
+def _fused_pairs_fwd(world8pad, rmat, t, pad_start, lens, intr_vec, geom):
     grid_x, num_tiles, width, height = geom[:4]
-    pose_vec = _pose_vec_from(rmat, t, geom)
+    pose_vec = _pose_vec_from(rmat, t, geom, intr_vec)
     out = fused_forward_pallas(
         world8pad, pose_vec, pad_start, lens, grid_x, num_tiles, width, height
     )
@@ -659,25 +690,26 @@ def _fused_pairs_bwd(geom, res, g_acc):
         d_t,
         np.zeros(pad_start.shape, jax.dtypes.float0),
         np.zeros(lens.shape, jax.dtypes.float0),
+        np.zeros((6,), jax.dtypes.float0),
     )
 
 
 _fused_pairs_core.defvjp(_fused_pairs_fwd, _fused_pairs_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _fused_gauss_core(world8_rows, rmat, t, pad_data, geom):
-    out, _ = _fused_gauss_fwd(world8_rows, rmat, t, pad_data, geom)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fused_gauss_core(world8_rows, rmat, t, pad_data, intr_vec, geom):
+    out, _ = _fused_gauss_fwd(world8_rows, rmat, t, pad_data, intr_vec, geom)
     return out
 
 
-def _fused_gauss_fwd(world8_rows, rmat, t, pad_data, geom):
+def _fused_gauss_fwd(world8_rows, rmat, t, pad_data, intr_vec, geom):
     from splatam_tpu.render.pallas.composite_pallas import _split_row_gather
 
     grid_x, num_tiles, width, height = geom[:4]
     (pad_gauss, pad_start, lens, counts, in_stream, gid_sorted,
      dst_sorted) = pad_data
-    pose_vec = _pose_vec_from(rmat, t, geom)
+    pose_vec = _pose_vec_from(rmat, t, geom, intr_vec)
     world8pad = _split_row_gather(world8_rows, pad_gauss).T  # [W8, P_pad]
     out = fused_forward_pallas(
         world8pad, pose_vec, pad_start, lens, grid_x, num_tiles, width, height
@@ -724,20 +756,20 @@ def _fused_gauss_bwd(geom, res, g_acc):
         0.0,
     )  # [n_gauss, W8]
 
-    if len(geom) > 10 and not geom[10]:
-        d_rmat = jnp.zeros((3, 3), jnp.float32)
-        d_t = jnp.zeros((3,), jnp.float32)
-    else:
-        # Pose grads need tail-masked per-pair grads (BA path).
-        slot = jax.lax.broadcasted_iota(jnp.int32, dattrs.shape, 1)
-        dattrs_m = jnp.where(slot < pad_start[num_tiles], dattrs, 0.0)
-        d_rmat, d_t = _pose_grads(rmat, dattrs_m, world8pad[0:3, :])
+    # The gauss core is mapping-only: its pose always sits behind
+    # stop_gradient (composite_fused_gauss appends False to geom), so pose
+    # cotangents are statically zero. A bundle-adjustment mode optimizing
+    # both sides would need _pose_grads on tail-masked dattrs here AND a
+    # need_pose_grads plumbed through composite_fused_gauss — the pairs
+    # core (_fused_pairs_bwd) shows the contraction.
+    d_rmat = jnp.zeros((3, 3), jnp.float32)
+    d_t = jnp.zeros((3,), jnp.float32)
     pd_cot = tuple(
         np.zeros(x.shape, jax.dtypes.float0)
         for x in (pad_gauss, pad_start, lens, counts, in_stream, gid_sorted,
                   dst_sorted)
     )
-    return (d_world8, d_rmat, d_t, pd_cot)
+    return (d_world8, d_rmat, d_t, pd_cot, np.zeros((6,), jax.dtypes.float0))
 
 
 _fused_gauss_core.defvjp(_fused_gauss_fwd, _fused_gauss_bwd)
@@ -758,23 +790,32 @@ def _geom_for(cam):
             cam.fx, cam.fy, cam.cx, cam.cy, limx, limy)
 
 
-def composite_fused_pairs(world8pad, ps, cam, q, t):
+def composite_fused_pairs(world8pad, ps, cam, q, t, intr_vec=None):
     """Tracking fused render: world8pad [W8, P_pad] rebin-time constants,
-    differentiable in (q, t). Returns [CH+1, H, W] (sil last)."""
+    differentiable in (q, t). Returns [CH+1, H, W] (sil last).
+
+    intr_vec ([6] f32 fx, fy, cx, cy, limx, limy) overrides cam's
+    intrinsics dynamically — the row-sharded path passes its cy-shifted
+    center and full-image frustum limits while cam carries the LOCAL row
+    block's height."""
     from splatam_tpu.core.transforms import build_rotation, normalize
     from splatam_tpu.render.composite_jax import assemble_image
 
+    geom = _geom_for(cam)
+    if intr_vec is None:
+        intr_vec = _default_intr(geom)
     rmat = build_rotation(normalize(q)[None])[0]
     acc = _fused_pairs_core(
-        world8pad, rmat, t, ps.pad_start, ps.lens, _geom_for(cam)
+        world8pad, rmat, t, ps.pad_start, ps.lens, intr_vec, geom
     )
     return assemble_image(acc, cam.width, cam.height)
 
 
 def composite_fused_gauss(means3d, logit_opacities, log_scales, rgb_colors,
-                          active, ps, cam, q, t):
+                          active, ps, cam, q, t, intr_vec=None):
     """Mapping fused render: differentiable in the gaussian params (pose
-    enters via stop_gradient upstream). Returns [CH+1, H, W] (sil last)."""
+    enters via stop_gradient upstream). Returns [CH+1, H, W] (sil last).
+    intr_vec as in composite_fused_pairs (row-sharded dynamic override)."""
     from splatam_tpu.core.transforms import build_rotation, normalize
     from splatam_tpu.render.composite_jax import assemble_image
 
@@ -785,6 +826,8 @@ def composite_fused_gauss(means3d, logit_opacities, log_scales, rgb_colors,
     bins = ps.bins
     pad_data = (ps.pad_gauss, ps.pad_start, ps.lens, bins.counts,
                 bins.in_stream, ps.gid_sorted, ps.dst_sorted)
-    geom = _geom_for(cam) + (False,)  # mapping: pose frozen, skip its grads
-    acc = _fused_gauss_core(world8_rows, rmat, t, pad_data, geom)
+    geom = _geom_for(cam)  # mapping: pose frozen, gauss core emits zero pose grads
+    if intr_vec is None:
+        intr_vec = _default_intr(geom)
+    acc = _fused_gauss_core(world8_rows, rmat, t, pad_data, intr_vec, geom)
     return assemble_image(acc, cam.width, cam.height)

@@ -11,8 +11,10 @@ re-architecture documented in SURVEY.md section 7:
 """
 from __future__ import annotations
 
+import atexit
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -29,6 +31,29 @@ from splatam_tpu.render.api import RenderConfig, split_overflow
 from splatam_tpu.slam import optim, steps
 from splatam_tpu.slam.config import backfill_defaults
 from splatam_tpu.slam.keyframes import keyframe_selection_overlap
+
+
+# Every live background-compile thread, across all runtimes. Daemon threads
+# mid-PJRT-compile at interpreter exit abort the process ("terminate called
+# after throwing an instance of ..." — BENCH_r04 rc=134), so exit must wait
+# for them: atexit runs before daemon threads are frozen, making teardown
+# deterministic. SLAMRuntime.shutdown() drains a single runtime's threads
+# earlier so a normal run reaches atexit with nothing left to join.
+_LIVE_COMPILES: set = set()
+_LIVE_COMPILES_LOCK = threading.Lock()
+
+
+def _join_live_compiles() -> None:
+    while True:
+        with _LIVE_COMPILES_LOCK:
+            threads = [th for th in _LIVE_COMPILES if th.is_alive()]
+        if not threads:
+            return
+        for th in threads:
+            th.join()
+
+
+atexit.register(_join_live_compiles)
 
 
 def _phase_cfg(section: dict) -> steps.PhaseConfig:
@@ -738,8 +763,6 @@ class SLAMRuntime:
         one thread per key; densify_frame's join then blocked ~25 s on the
         next bucket's whole tracking+mapping compile it had no use for
         (BENCH_r04 frames 2-3)."""
-        import threading
-
         key = (bucket, rcfg.pair_cap)
         if key in self._precompiled:
             return
@@ -755,7 +778,19 @@ class SLAMRuntime:
                 daemon=True,
             )
             self._inflight[ikey] = th
+            with _LIVE_COMPILES_LOCK:
+                _LIVE_COMPILES.add(th)
             th.start()
+
+    def shutdown(self) -> None:
+        """Drain this runtime's in-flight background compiles. Call before
+        discarding a runtime (and before process exit) — a daemon thread
+        still inside a PJRT compile when the interpreter finalizes aborts
+        the whole process (BENCH_r04 rc=134). Idempotent."""
+        for ikey, th in list(self._inflight.items()):
+            if th.is_alive():
+                th.join()
+            self._inflight.pop(ikey, None)
 
     @staticmethod
     def _compile_one(fn, args, kwargs, ikey, key, inflight, precompiled):
@@ -778,6 +813,8 @@ class SLAMRuntime:
             precompiled.discard(key)
         finally:
             inflight.pop(ikey, None)
+            with _LIVE_COMPILES_LOCK:
+                _LIVE_COMPILES.discard(threading.current_thread())
 
     def _join_inflight(self, pair_cap: int, bucket: int | None = None,
                        program: str | None = None) -> None:
@@ -1778,4 +1815,5 @@ def rgbd_slam(config: dict) -> dict:
     )
     logger.log({f"Final/{k}": v for k, v in metrics.items() if isinstance(v, float)})
     logger.finish()
+    rt.shutdown()
     return metrics

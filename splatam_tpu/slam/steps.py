@@ -144,7 +144,6 @@ def get_loss(
         mapping
         and not do_ba
         and means2d_dummy is None
-        and mesh is None
         and pair_structure is not None
         and pair_structure.pad_gauss is not None
         and gm.log_scales.shape[1] == 1
@@ -172,12 +171,22 @@ def get_loss(
                 cam, pair_structure, q, t, gm.means3d.shape[0]
             )
     elif fusedmap_path:
-        from splatam_tpu.render.api import render_rgbd_sil_mapping_fused
+        if mesh is not None:
+            from splatam_tpu.parallel.spatial import (
+                render_rgbd_sil_mapping_fused_sharded,
+            )
 
-        out = render_rgbd_sil_mapping_fused(
-            cam, pair_structure, gm.means3d, gm.rgb_colors,
-            gm.logit_opacities, gm.log_scales, gm.active, sg(q), sg(t),
-        )
+            out = render_rgbd_sil_mapping_fused_sharded(
+                mesh, cam, pair_structure, gm.means3d, gm.rgb_colors,
+                gm.logit_opacities, gm.log_scales, gm.active, sg(q), sg(t),
+            )
+        else:
+            from splatam_tpu.render.api import render_rgbd_sil_mapping_fused
+
+            out = render_rgbd_sil_mapping_fused(
+                cam, pair_structure, gm.means3d, gm.rgb_colors,
+                gm.logit_opacities, gm.log_scales, gm.active, sg(q), sg(t),
+            )
     else:
         if tracking:
             means_cam, rots_cam = transform_to_frame(gm, q, t, False, True)
@@ -296,10 +305,11 @@ def loss_pair_structure(gm: GaussianMap, q, t, cam: Camera, rcfg: RenderConfig,
     means_cam, rots_cam = transform_to_frame(gm, sg(q), sg(t), False, False)
 
     # Isotropic maps use the fused in-kernel projection (8 world rows,
-    # render.pallas.fused_iso); anisotropic (or sharded) ones keep the
-    # generic 16-row pair-space path.
+    # render.pallas.fused_iso) — single-chip AND row-sharded (each shard
+    # gathers its own world8 rows); anisotropic ones keep the generic
+    # 16-row pair-space path.
     use_w8 = (
-        prefer_w8 and with_world16 and mesh is None
+        prefer_w8 and with_world16
         and gm.log_scales.shape[1] == 1
         and rcfg.resolve_backend() == "pallas"
     )
@@ -315,9 +325,18 @@ def loss_pair_structure(gm: GaussianMap, q, t, cam: Camera, rcfg: RenderConfig,
     if mesh is not None:
         from splatam_tpu.parallel.spatial import compute_pair_structure_sharded
 
+        world_rows8 = None
+        if use_w8:
+            from splatam_tpu.render.pallas import fused_iso
+
+            world_rows8 = sg(fused_iso.pack_world8(
+                gm.means3d, gm.logit_opacities, gm.log_scales,
+                gm.rgb_colors, gm.active,
+            ))
         return compute_pair_structure_sharded(
             mesh, cam, means_cam, rots_cam, gm.logit_opacities,
             gm.log_scales, gm.active, rcfg, world_rows=world_rows,
+            world_rows8=world_rows8,
         )
 
     from splatam_tpu.render.api import compute_pair_structure

@@ -50,6 +50,7 @@ def test_downscale_camera_center_mapping(factor):
 
 
 @pytest.mark.slow
+@pytest.mark.gauntlet
 def test_slam_tracking_coarse_to_fine(tmp_path):
     """Full tracking+mapping with C2F enabled: must run end-to-end and keep
     trajectory error within the standard bound (quality gating at scale

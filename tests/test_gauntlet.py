@@ -36,6 +36,7 @@ SCAN_PSNR_FLOOR = 37.0
 
 
 @pytest.mark.slow
+@pytest.mark.gauntlet
 def test_micro_gauntlet_tracking_quality(tmp_path):
     from scripts.gauntlet import run_variant
 
@@ -55,6 +56,7 @@ def test_micro_gauntlet_tracking_quality(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.gauntlet
 def test_micro_gauntlet_scan_revisit(tmp_path):
     from scripts.gauntlet import run_variant
 

@@ -208,6 +208,62 @@ def test_sharded_mapping_reuse_matches_unsharded_reuse():
     )
 
 
+@pytest.mark.skipif(N_DEV < 2, reason="needs multiple devices")
+@pytest.mark.slow
+def test_sharded_fused_iso_matches_unsharded():
+    """The fused isotropic in-kernel-projection paths (render.pallas.
+    fused_iso) must COMPOSE with row sharding (VERDICT r4 item 6): each
+    shard gathers its own world8 rows and runs the fused kernels on its
+    row block with the cy shift riding the dynamic pose vector. Runs the
+    REAL Mosaic kernels under the TPU interpreter on the CPU mesh."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rcfg = RenderConfig(backend="pallas", pair_cap=1 << 12, tile_k_max=256)
+    gm = _scene(seed=10)
+    color, depth = _frame(seed=11)
+    q = jnp.asarray([1.0, 0.01, 0, 0], jnp.float32)
+    t = jnp.asarray([0.03, -0.01, 0.02], jnp.float32)
+    mesh = make_mesh(2)
+
+    with pltpu.force_tpu_interpret_mode():
+        # ---- tracking (pairs core): loss + pose grads --------------------
+        def track_loss(qt, mesh_arg):
+            ps = steps.loss_pair_structure(
+                gm, qt[0], qt[1], CAM, rcfg, with_world16=True, mesh=mesh_arg
+            )
+            assert (ps.world8 is not None), "w8 gate did not unlock"
+            loss, _ = steps.get_loss(
+                gm, qt[0], qt[1], color, depth, CAM, PCFG_T, rcfg,
+                True, False, mesh=mesh_arg, pair_structure=ps,
+            )
+            return loss
+
+        (l0, g0) = jax.value_and_grad(track_loss)((q, t), None)
+        (l1, g1) = jax.value_and_grad(track_loss)((q, t), mesh)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g0[0]),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g0[1]),
+                                   rtol=1e-4, atol=1e-6)
+
+        # ---- mapping (gauss core): loss + param grads --------------------
+        def map_loss(means, mesh_arg):
+            g2 = gm._replace(means3d=means)
+            ps = steps.loss_pair_structure(g2, q, t, CAM, rcfg,
+                                           mesh=mesh_arg)
+            loss, _ = steps.get_loss(
+                g2, q, t, color, depth, CAM, PCFG_M, rcfg, False, True,
+                mesh=mesh_arg, pair_structure=ps,
+            )
+            return loss
+
+        (m0, gm0) = jax.value_and_grad(map_loss)(gm.means3d, None)
+        (m1, gm1) = jax.value_and_grad(map_loss)(gm.means3d, mesh)
+        np.testing.assert_allclose(float(m1), float(m0), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gm1), np.asarray(gm0),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_dryrun_multichip_entrypoints():
     import __graft_entry__ as ge
 

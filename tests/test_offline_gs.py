@@ -9,6 +9,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
 
 
 @pytest.mark.slow
+@pytest.mark.gauntlet
 def test_offline_splatting_synthetic(tmp_path):
     from gaussian_splatting import offline_splatting
 

@@ -54,3 +54,55 @@ def test_numpy_w2c_matches_build_rotation():
         np.testing.assert_allclose(w2c[:3, :3], R_ref, atol=1e-6)
         np.testing.assert_allclose(w2c[:3, 3], t, atol=0)
         assert w2c[3, 3] == 1.0
+
+
+def test_shutdown_drains_inflight_precompiles():
+    """Regression for BENCH_r04 rc=134: a daemon background-compile thread
+    still alive at interpreter exit aborted the process. shutdown() (and the
+    module atexit hook _join_live_compiles) must block until every in-flight
+    compile thread has finished and deregistered itself."""
+    import threading
+    import time as _time
+
+    from splatam_tpu.slam import pipeline as P
+
+    class _SlowLowered:
+        def compile(self):
+            _time.sleep(0.3)
+
+    class _SlowFn:
+        __name__ = "fake_phase"
+
+        def lower(self, *a, **k):
+            _time.sleep(0.2)
+            return _SlowLowered()
+
+    class _RT:
+        _inflight: dict = {}
+        shutdown = P.SLAMRuntime.shutdown
+
+    rt = _RT()
+    precompiled = {("k",)}
+    fn = _SlowFn()
+    ikey = (1 << 20, 1 << 21, "fake_phase", 0)
+    th = threading.Thread(
+        target=P.SLAMRuntime._compile_one,
+        args=(fn, (), {}, ikey, ("k",), rt._inflight, precompiled),
+        daemon=True,
+    )
+    rt._inflight[ikey] = th
+    with P._LIVE_COMPILES_LOCK:
+        P._LIVE_COMPILES.add(th)
+    th.start()
+    assert th.is_alive()
+
+    rt.shutdown()  # must join, not return while the compile is running
+    assert not th.is_alive()
+    assert rt._inflight == {}
+
+    P._join_live_compiles()  # atexit path: nothing live left behind
+    with P._LIVE_COMPILES_LOCK:
+        assert all(not t.is_alive() for t in P._LIVE_COMPILES)
+    # the worker deregistered itself on completion
+    with P._LIVE_COMPILES_LOCK:
+        assert th not in P._LIVE_COMPILES
