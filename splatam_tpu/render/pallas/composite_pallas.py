@@ -38,7 +38,10 @@ from splatam_tpu.render.naive import ALPHA_MAX, ALPHA_MIN, T_EPS
 from splatam_tpu.render.projection import TILE
 
 PIX = TILE * TILE  # 256
-C = 128  # gaussians per chunk == DMA alignment
+# Gaussians per chunk == DMA alignment. 128 = native lane width; the
+# SPLATAM_CHUNK_C env override exists only for ledger experiments
+# (docs/PERFORMANCE.md records the C=256 and C=64 measurements).
+C = int(__import__("os").environ.get("SPLATAM_CHUNK_C", "128"))
 # 16 attr rows: xy(2) conic(3) opacity(1) + up to 5 channels + pad (DMA
 # slices must be sublane-multiples of 8, so 12 is not legal). The constant
 # silhouette channel is NOT stored: sil == 1 - T_final exactly (telescoping
@@ -132,44 +135,31 @@ def _row_to_col(x):
 def _post_chunk_t(skip, live, u, t_before, t_col, done_col, cp_last):
     """Post-chunk transmittance update for the forward kernels.
 
-    The common case — no live pixel crosses T_EPS in this chunk — is just
-    T *= prod(om) for live pixels (cp_last = inclusive chunk product at the
-    last lane, (PIX, 1)). The reference's freeze semantics (renderCUDA
-    keeps T at its value BEFORE the terminating gaussian, which is never
-    applied) need several full-width selects and lane reductions; measured
-    scene statistics show termination almost never fires at steady state
-    (docs/PERFORMANCE.md round-4 "saturation trim" entry), so that block
-    runs under a lax.cond and costs nothing on the common path. Exactness
-    is unconditional: the branch executes whenever any pixel terminates."""
-    u_last = u[:, C - 1 : C]
-    any_term_now = jnp.max(
-        jnp.where(live & (u_last < T_EPS) & (t_col >= T_EPS), 1.0, 0.0)
-    ) > 0.5
+    A terminating pixel keeps its T at the FIRST crossing lane (u drops
+    below T_EPS exactly where the previous non-skipped u — which equals
+    t_before there — was still above), max-selectable since zero
+    elsewhere; a live non-terminating pixel multiplies by the chunk
+    product (cp_last, reconstructed by the caller from the exclusive
+    cumprod); a previously-done pixel keeps t_col.
 
-    def freeze(skip, live, u, t_before, t_col, done_col, cp_last):
-        term_first = (
-            (~skip) & live & (u < T_EPS) & (t_before >= T_EPS)
-        ).astype(jnp.float32)
-        t_term = jnp.max(t_before * term_first, axis=1, keepdims=True)
-        any_term = (
-            live & (u[:, C - 1 : C] < T_EPS) & (t_col >= T_EPS)
-        ).astype(jnp.float32)
-        t_live = t_col * cp_last
-        t_new = jnp.where(
-            done_col > 0.5, t_col, jnp.where(any_term > 0.5, t_term, t_live)
-        )
-        return t_new, jnp.maximum(done_col, any_term)
-
-    def no_freeze(skip, live, u, t_before, t_col, done_col, cp_last):
-        return (
-            jnp.where(done_col > 0.5, t_col, t_col * cp_last),
-            done_col,
-        )
-
-    return jax.lax.cond(
-        any_term_now, freeze, no_freeze,
-        skip, live, u, t_before, t_col, done_col, cp_last,
+    Measured dead end (round 5, do not retry): gating the freeze block
+    under an in-kernel lax.cond on "any live pixel crossed T_EPS this
+    chunk" — termination almost never fires at steady state, but the
+    Mosaic scf.if's vector operand/result handling cost MORE than the
+    ~12 saved ops (mapping fwd 34.7 -> 36.9 ms/iter at 1.27M gaussians /
+    2.6M pairs); branchless is faster."""
+    term_first = (
+        (~skip) & live & (u < T_EPS) & (t_before >= T_EPS)
+    ).astype(jnp.float32)
+    t_term = jnp.max(t_before * term_first, axis=1, keepdims=True)
+    any_term = (
+        live & (u[:, C - 1 : C] < T_EPS) & (t_col >= T_EPS)
+    ).astype(jnp.float32)
+    t_live = t_col * cp_last
+    t_new = jnp.where(
+        done_col > 0.5, t_col, jnp.where(any_term > 0.5, t_term, t_live)
     )
+    return t_new, jnp.maximum(done_col, any_term)
 
 
 def _alpha_block(a, k_base, num, ox, oy, pxc, pyc, lane_idx):
