@@ -19,8 +19,47 @@ from splatam_tpu.core.losses import calc_psnr, ms_ssim
 from splatam_tpu.core.transforms import build_rotation, normalize
 from splatam_tpu.eval.ate import evaluate_ate
 from splatam_tpu.eval.lpips_jax import lpips_fn
-from splatam_tpu.render.api import RenderConfig, render_rgbd_sil
+from splatam_tpu.render.api import RenderConfig, render_rgbd_sil, split_overflow
 from splatam_tpu.slam.steps import transform_to_frame
+
+# Binning packs pair offsets into 23 bits (render.binning); mirrors
+# slam.pipeline.PAIR_CAP_HARD_LIMIT without importing the pipeline here.
+_PAIR_CAP_HARD_LIMIT = (1 << 23) - (1 << 17)
+
+
+def _render_checked(gm: GaussianMap, q, t, cam: Camera, rcfg: RenderConfig):
+    """render_at_pose with overflow self-healing.
+
+    The online pipeline retries a phase with grown buffers whenever the
+    render reports pair/tile-list overflow (pipeline._bump_pair_margin);
+    eval had no such retry, so an rcfg sized below the scene's true pair
+    count silently truncated the densest tiles and rendered holes — which
+    the metrics then scored as catastrophic depth error (round-5
+    diagnostic: final-eval PSNR 14 on a map whose frames all render clean
+    at a sufficient cap). Returns (out, rcfg) where rcfg is the possibly
+    grown config the CALLER should reuse for subsequent frames (each
+    growth is one extra jit compile, offline-only cost).
+    """
+    import dataclasses
+
+    while True:
+        out = _render_at_pose_jit(gm, jnp.asarray(q), jnp.asarray(t), cam, rcfg)
+        dropped, list_ovf = split_overflow(out.overflow)
+        if not dropped and not list_ovf:
+            return out, rcfg
+        new_pair_cap = (min(rcfg.pair_cap * 2, _PAIR_CAP_HARD_LIMIT)
+                        if dropped else rcfg.pair_cap)
+        new_tile_k = rcfg.tile_k_max * 2 if list_ovf else rcfg.tile_k_max
+        if (new_pair_cap, new_tile_k) == (rcfg.pair_cap, rcfg.tile_k_max):
+            print(f"[splatam-tpu] eval render overflow at the hard cap "
+                  f"(dropped={dropped}, list={list_ovf}) — metrics for this "
+                  f"view underrender")
+            return out, rcfg
+        print(f"[splatam-tpu] eval render overflow (dropped={dropped}, "
+              f"list={list_ovf}) — retrying at pair_cap={new_pair_cap}, "
+              f"tile_k_max={new_tile_k}")
+        rcfg = dataclasses.replace(
+            rcfg, pair_cap=new_pair_cap, tile_k_max=new_tile_k)
 
 
 def _lpips_metrics(lpips, value) -> dict:
@@ -268,7 +307,9 @@ def eval_nvs(
 
         color = jnp.asarray(color_np.transpose(2, 0, 1) / 255.0, jnp.float32)
         depth = jnp.asarray(depth_np[..., 0], jnp.float32)
-        out = render_at_w2c(gm, gt_w2c, cam, rcfg)
+        out, rcfg = _render_checked(
+            gm, _quat_from_w2c_np(gt_w2c), gt_w2c[:3, 3].astype(np.float32),
+            cam, rcfg)
 
         valid = depth > 0
         sil_mask = out.silhouette > sil_thres
@@ -376,7 +417,7 @@ def eval_sequence(
         depth = jnp.asarray(depth_np[..., 0], jnp.float32)
         q = jnp.asarray(cam_rots[..., time_idx].reshape(4))
         t = jnp.asarray(cam_trans[..., time_idx].reshape(3))
-        out = _render_at_pose_jit(gm, q, t, cam, rcfg)
+        out, rcfg = _render_checked(gm, q, t, cam, rcfg)
 
         valid = depth > 0
         sil_mask = out.silhouette > sil_thres

@@ -1783,7 +1783,14 @@ def rgbd_slam(config: dict) -> dict:
     # ---- Final eval + params.npz --------------------------------------
     final_params = rt.export_params()
     # Use the run-adapted pair budget, not the init-time config: the pair
-    # margin/ceiling may have grown with the map during the run.
+    # margin/ceiling may have grown with the map during the run. Size it
+    # from the runtime's CAPACITY bucket, not n_final: the run's phases
+    # budgeted pairs at bucket * margin, and an n_final-based margin cap
+    # can land BELOW the grid's measured pair count — the run heals that
+    # via overflow-retry, but a too-small eval cap truncated the densest
+    # tiles into rendered holes (round-5 diagnostic: final-eval PSNR 14 on
+    # a healthy map; eval_sequence now also self-heals via
+    # evaluate._render_checked).
     n_final = int(rt.gm.num_active())
     metrics = eval_sequence(
         rt.dataset,
@@ -1794,7 +1801,7 @@ def rgbd_slam(config: dict) -> dict:
         mapping_iters=config["mapping"]["num_iters"],
         add_new_gaussians=config["mapping"]["add_new_gaussians"],
         eval_every=config["eval_every"],
-        rcfg=rt._phase_rcfg(n_final, n_final),
+        rcfg=rt._phase_rcfg(max(int(rt.gm.capacity), n_final), n_final),
     )
     save_params(final_params, rt.output_dir)
     metrics["runtime"] = {

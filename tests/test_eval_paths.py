@@ -106,3 +106,37 @@ def test_lpips_pretrained_npz_roundtrip(tmp_path):
     a = jnp.asarray(rng.uniform(0, 1, (3, 40, 56)).astype(np.float32))
     b = jnp.clip(a + 0.2, 0, 1)
     assert np.isfinite(float(f(a, b)))
+
+
+def test_eval_render_overflow_self_heals(tmp_path):
+    """An eval rcfg sized below the scene's true pair count must not
+    silently truncate tiles into holes (round-5 diagnostic: a healthy
+    85k-gaussian map final-evaled at PSNR 14 because the eval pair budget
+    sat below the measured pair count and, unlike the online pipeline,
+    eval had no overflow-retry). _render_checked doubles pair_cap /
+    tile_k_max until the overflow channels clear, so the starved config
+    must reproduce the generously-budgeted render exactly."""
+    from splatam_tpu.eval.evaluate import _render_checked, render_at_pose
+
+    ds = SyntheticDataset(num_frames=1, height=48, width=64, motion_scale=0.2)
+    params = _gt_map_params(ds, 1)
+    from splatam_tpu.core.gaussians import from_params_dict
+
+    gm = from_params_dict(params)
+    color_np, depth_np, intr, _ = ds[0]
+    cam = setup_camera(color_np.shape[1], color_np.shape[0], intr[:3, :3], None)
+    q = jnp.asarray(params["cam_unnorm_rots"][..., 0].reshape(4))
+    t = jnp.asarray(params["cam_trans"][..., 0].reshape(3))
+
+    big = RenderConfig(backend="tiles", pair_cap=1 << 16, tile_k_max=2048)
+    ref = render_at_pose(gm, q, t, cam, big)
+    assert int(ref.overflow) == 0, "reference budget itself overflowed"
+
+    starved = RenderConfig(backend="tiles", pair_cap=1 << 10, tile_k_max=2048)
+    healed, grown = _render_checked(gm, q, t, cam, starved)
+    assert int(healed.overflow) == 0
+    assert grown.pair_cap > starved.pair_cap  # it actually had to heal
+    np.testing.assert_allclose(
+        np.asarray(healed.im), np.asarray(ref.im), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(healed.depth), np.asarray(ref.depth), atol=1e-4)
