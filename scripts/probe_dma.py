@@ -161,6 +161,71 @@ def main():
 
     timed("dma_only", dma_only, world8, pose_vec)
 
+    # ---- dma_bN: same walk, N chunks per async copy ------------------------
+    # Lane slices must be 128-multiples, so B*C in {256, 512} is legal.
+    # Tail over-read: the padded layout rounds each tile's region up to C;
+    # a B-chunk copy can read past the tile's own pairs into the next
+    # tile's region (or the buffer tail). For a floor PROBE that is fine —
+    # the real kernel masks by `num` anyway; the buffer itself is padded
+    # to pair_cap which is a multiple of 2^17, so B*C never crosses the
+    # allocation end when s+i*C < num <= pair_cap - B*C slack... to be
+    # safe the caller pads attrs by (B-1)*C columns.
+    def make_dma_bn(B):
+        def _dma_bn_kernel(pad_start_ref, lens_ref, pose_ref, attrs_hbm,
+                           out_ref, scratch, sem):
+            tl = pl.program_id(0)
+            s = pad_start_ref[tl]
+            num = lens_ref[tl]
+            n_blocks = pl.cdiv(pl.cdiv(num, C), B)
+
+            def blk_dma(i):
+                slot = jax.lax.rem(i, 2)
+                return pltpu.make_async_copy(
+                    attrs_hbm.at[:, pl.ds(pl.multiple_of(s + i * (B * C), C),
+                                          B * C)],
+                    scratch.at[slot], sem.at[slot])
+
+            @pl.when(n_blocks > 0)
+            def _():
+                blk_dma(0).start()
+
+            def body(i, acc):
+                slot = jax.lax.rem(i, 2)
+
+                @pl.when(i + 1 < n_blocks)
+                def _():
+                    blk_dma(i + 1).start()
+
+                blk_dma(i).wait()
+                return acc + scratch[slot, 0:1, :C]
+
+            acc = jax.lax.fori_loop(0, n_blocks, body,
+                                    jnp.zeros((1, C), jnp.float32))
+            out_ref[0, 0:1, :C] = acc
+
+        def dma_bn(w8, pv):
+            w8pad = jnp.pad(w8, ((0, 0), (0, (B - 1) * C)))
+            return pl.pallas_call(
+                _dma_bn_kernel,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=3,
+                    grid=(num_tiles,),
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+                    out_specs=pl.BlockSpec((1, 1, PIX),
+                                           lambda t_, *_: (t_, 0, 0),
+                                           memory_space=pltpu.VMEM),
+                    scratch_shapes=[pltpu.VMEM((2, FI.W8, B * C), jnp.float32),
+                                    pltpu.SemaphoreType.DMA((2,))],
+                ),
+                out_shape=jax.ShapeDtypeStruct((num_tiles, 1, PIX),
+                                               jnp.float32),
+            )(pad_start, lens, pv, w8pad)
+
+        return dma_bn
+
+    timed("dma_b2", make_dma_bn(2), world8, pose_vec)
+    timed("dma_b4", make_dma_bn(4), world8, pose_vec)
+
     # ---- math_only: full per-chunk math on ONE resident chunk -------------
     def _math_kernel(width, height, pad_start_ref, lens_ref, pose_ref,
                      attrs_hbm, out_ref, scratch, sem):
