@@ -131,7 +131,14 @@ def pallas_layout(bins: binning_mod.Bins, num_tiles: int, n_gauss: int):
     from splatam_tpu.render.pallas import composite_pallas as CP
 
     pair_cap = bins.pair_gauss.shape[0]
-    pad_cap = pair_cap + num_tiles * CP.C
+    # +1 tile of slack: the fused forward block-fetches TWO C-chunks per
+    # DMA (render.pallas.fused_iso), so a tile with an odd chunk count
+    # over-reads up to C lanes past its own segment. Worst-case segment
+    # packing can end within C of pair_cap + num_tiles*C, so the extra C
+    # guarantees the over-read stays inside the allocation (the fetched
+    # lanes are masked by the kernels' in_range test; pad slots hold
+    # gaussian-0 attrs, which are finite).
+    pad_cap = pair_cap + (num_tiles + 1) * CP.C
     pad_gauss, pad_start, lens, dst = binning_mod.padded_layout(
         bins, num_tiles, pad_cap, align=CP.C
     )

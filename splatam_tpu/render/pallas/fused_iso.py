@@ -212,36 +212,32 @@ def _fused_fwd_kernel(grid_x: int, width: float, height: float,
     done0 = jnp.zeros((PIX, 1), jnp.float32)
     nc0 = jnp.zeros((PIX, 1), jnp.float32)
     n_chunks = pl.cdiv(num, C)
+    # Block fetch: TWO C-chunks per async copy. The per-chunk DMA ISSUE
+    # overhead — not bandwidth — dominated the single-chunk walk
+    # (scripts/probe_dma.py at 2.62M pairs: walk alone 6.8 ms/iter at B=1
+    # vs 2.9 at B=2; B=4 adds nothing), so halving the copy count buys
+    # ~30% of the whole forward. A tile with an odd chunk count
+    # over-reads <= C lanes past its segment into the next segment or the
+    # layout's tail slack (api.pallas_layout pads pad_cap by an extra C
+    # for exactly this); the foreign lanes are masked by in_range below.
+    n_blocks = pl.cdiv(n_chunks, 2)
 
-    def chunk_dma(i):
+    def blk_dma(i):
         slot = jax.lax.rem(i, 2)
         return pltpu.make_async_copy(
-            attrs_hbm.at[:, pl.ds(pl.multiple_of(s + i * C, C), C)],
+            attrs_hbm.at[:, pl.ds(pl.multiple_of(s + i * (2 * C), C), 2 * C)],
             scratch.at[slot],
             sem.at[slot],
         )
 
-    @pl.when(n_chunks > 0)
+    @pl.when(n_blocks > 0)
     def _():
-        chunk_dma(0).start()
+        blk_dma(0).start()
 
-    def cond(carry):
-        cursor, *_ = carry
-        return cursor < n_chunks
-
-    def body(carry):
-        cursor, processed, t_col, done_col, nc_col, acc = carry
-        i = processed
-        slot = jax.lax.rem(i, 2)
-
-        @pl.when(i + 1 < n_chunks)
-        def _():
-            chunk_dma(i + 1).start()
-
-        chunk_dma(i).wait()
-        a = scratch[slot, :, :]
+    def chunk_step(k, a, t_col, done_col, nc_col, acc):
+        """Composite one (W8, C) chunk with global chunk index k."""
         p = _project_rows(a, pose_ref, width, height)
-        q = _alpha_rows(p, i * C, num, ox, oy, pxc, pyc, lane_idx)
+        q = _alpha_rows(p, k * C, num, ox, oy, pxc, pyc, lane_idx)
 
         ae = jnp.where(q["skip"], 0.0, q["alpha"])
         om = 1.0 - ae
@@ -264,23 +260,45 @@ def _fused_fwd_kernel(grid_x: int, width: float, height: float,
             chan, weight, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        kplus = jnp.where(applied, (lane_idx + i * C + 1).astype(jnp.float32), 0.0)
+        kplus = jnp.where(applied, (lane_idx + k * C + 1).astype(jnp.float32), 0.0)
         nc_col = jnp.maximum(nc_col, jnp.max(kplus, axis=1, keepdims=True))
         t_col, done_col = _post_chunk_t(
             q["skip"], live, u, t_before, t_col, done_col,
             cpe[:, C - 1 : C] * om[:, C - 1 : C],
         )
+        return t_col, done_col, nc_col, acc
+
+    def cond(carry):
+        cursor, *_ = carry
+        return cursor < n_blocks
+
+    def body(carry):
+        cursor, processed, t_col, done_col, nc_col, acc = carry
+        i = processed
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n_blocks)
+        def _():
+            blk_dma(i + 1).start()
+
+        blk_dma(i).wait()
+        t_col, done_col, nc_col, acc = chunk_step(
+            2 * i, scratch[slot, :, 0:C], t_col, done_col, nc_col, acc
+        )
+        t_col, done_col, nc_col, acc = chunk_step(
+            2 * i + 1, scratch[slot, :, C:2 * C], t_col, done_col, nc_col, acc
+        )
         all_done = jnp.min(done_col) > 0.5
-        cursor = jnp.where(all_done, n_chunks, i + 1)
+        cursor = jnp.where(all_done, n_blocks, i + 1)
         return (cursor, i + 1, t_col, done_col, nc_col, acc)
 
     _, processed, t_col, _, nc_col, acc = jax.lax.while_loop(
         cond, body, (jnp.int32(0), jnp.int32(0), t0, done0, nc0, acc0)
     )
 
-    @pl.when(processed < n_chunks)
+    @pl.when(processed < n_blocks)
     def _():
-        chunk_dma(processed).wait()
+        blk_dma(processed).wait()
 
     out_ref[0, :CH, :] = acc
     out_ref[0, CH:CH + 1, :] = 1.0 - _col_to_row(t_col)
@@ -310,7 +328,7 @@ def fused_forward_pallas(world8, pose_vec, pad_start, lens, grid_x, num_tiles,
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, W8, C), jnp.float32),
+                pltpu.VMEM((2, W8, 2 * C), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -343,22 +361,55 @@ def _fused_bwd_kernel(grid_x: int, width: float, height: float,
 
     nc_max = jnp.max(gscratch[CH + 2:CH + 3, :]).astype(jnp.int32)
     n_chunks = pl.cdiv(nc_max, C)
+    # Block fetch (see the forward): two C-chunks per input copy, reverse
+    # walk by block, chunk 2j+1 composited before 2j inside block j. A
+    # last block whose second chunk sits past n_chunks still computes it —
+    # in_range masks every effect to zero — but its OUTPUT copy narrows to
+    # C lanes (out_tail below): a 2C write there would race the NEXT
+    # tile's segment writes through unordered async DMAs.
+    n_blocks = pl.cdiv(n_chunks, 2)
 
-    def chunk_dma(i):
-        slot = jax.lax.rem(i, 2)
+    def blk_dma(j):
+        slot = jax.lax.rem(j, 2)
         return pltpu.make_async_copy(
-            attrs_hbm.at[:, pl.ds(pl.multiple_of(s + i * C, C), C)],
+            attrs_hbm.at[:, pl.ds(pl.multiple_of(s + j * (2 * C), C), 2 * C)],
             scratch.at[slot],
             sem.at[slot],
         )
 
-    def out_dma(i):
-        slot = jax.lax.rem(i, 2)
+    def out_full(j):
+        slot = jax.lax.rem(j, 2)
         return pltpu.make_async_copy(
             dscratch.at[slot],
-            dattr_out.at[:, pl.ds(pl.multiple_of(s + i * C, C), C)],
+            dattr_out.at[:, pl.ds(pl.multiple_of(s + j * (2 * C), C), 2 * C)],
             dsem.at[slot],
         )
+
+    def out_tail(j):
+        slot = jax.lax.rem(j, 2)
+        return pltpu.make_async_copy(
+            dscratch.at[slot, :, 0:C],
+            dattr_out.at[:, pl.ds(pl.multiple_of(s + j * (2 * C), C), C)],
+            dsem.at[slot],
+        )
+
+    def out_start(j):
+        @pl.when(2 * j + 1 < n_chunks)
+        def _():
+            out_full(j).start()
+
+        @pl.when(2 * j + 1 >= n_chunks)
+        def _():
+            out_tail(j).start()
+
+    def out_wait(j):
+        @pl.when(2 * j + 1 < n_chunks)
+        def _():
+            out_full(j).wait()
+
+        @pl.when(2 * j + 1 >= n_chunks)
+        def _():
+            out_tail(j).wait()
 
     jpix = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
     pyr = (jpix // TILE).astype(jnp.float32)
@@ -369,28 +420,17 @@ def _fused_bwd_kernel(grid_x: int, width: float, height: float,
     )  # (6, PIX)
     utri = _tri_lanes(suffix=True)
 
-    @pl.when(n_chunks > 0)
+    @pl.when(n_blocks > 0)
     def _():
-        chunk_dma(n_chunks - 1).start()
+        blk_dma(n_blocks - 1).start()
 
-    def cond(carry):
-        i, *_ = carry
-        return i >= 0
-
-    def body(carry):
-        i, t_end, v_end = carry
-        slot = jax.lax.rem(i, 2)
-
-        @pl.when(i - 1 >= 0)
-        def _():
-            chunk_dma(i - 1).start()
-
-        chunk_dma(i).wait()
-        a = scratch[slot, :, :]
+    def bwd_chunk(k, a, t_end, v_end):
+        """Reverse-composite one (W8, C) chunk with global chunk index k.
+        Returns (d_rows [W8, C], t_end', v_end')."""
         p = _project_rows(a, pose_ref, width, height)
-        q = _alpha_rows(p, i * C, num, ox, oy, pxc, pyc, lane_idx)
+        q = _alpha_rows(p, k * C, num, ox, oy, pxc, pyc, lane_idx)
         applied = ~q["skip"] & (
-            (lane_idx + i * C + 1).astype(jnp.float32) <= nc_col
+            (lane_idx + k * C + 1).astype(jnp.float32) <= nc_col
         )
 
         om = jnp.where(applied, 1.0 - q["alpha"], 1.0)
@@ -517,39 +557,65 @@ def _fused_bwd_kernel(grid_x: int, width: float, height: float,
         d_mwy = r01 * d_px + r11 * d_py + r21 * d_tz
         d_mwz = r02 * d_px + r12 * d_py + r22 * d_tz
 
-        @pl.when(i + 2 <= n_chunks - 1)
-        def _():
-            out_dma(i + 2).wait()
-
-        dscratch[slot, :, :] = jnp.concatenate(
+        d_rows = jnp.concatenate(
             [d_mwx, d_mwy, d_mwz, d_s2, dopa, dchan[0:3, :]], axis=0
         )
-        out_dma(i).start()
+        return d_rows, t_end * inv_s_rev[:, 0:1], v_inc[:, 0:1]
 
-        t_end = t_end * inv_s_rev[:, 0:1]
-        v_end = v_inc[:, 0:1]
-        return (i - 1, t_end, v_end)
+    def cond(carry):
+        j, *_ = carry
+        return j >= 0
+
+    def body(carry):
+        j, t_end, v_end = carry
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j - 1 >= 0)
+        def _():
+            blk_dma(j - 1).start()
+
+        blk_dma(j).wait()
+        # Chunk 2j+1 first: the reverse recurrence (t_end/v_end) runs
+        # back-to-front. When 2j+1 >= n_chunks (odd tail) every lane of
+        # that chunk is masked: d1 is all-zero and t_end/v_end pass
+        # through unchanged.
+        d1, t_end, v_end = bwd_chunk(
+            2 * j + 1, scratch[slot, :, C:2 * C], t_end, v_end
+        )
+        d0, t_end, v_end = bwd_chunk(
+            2 * j, scratch[slot, :, 0:C], t_end, v_end
+        )
+
+        @pl.when(j + 2 <= n_blocks - 1)
+        def _():
+            out_wait(j + 2)
+
+        dscratch[slot, :, C:2 * C] = d1
+        dscratch[slot, :, 0:C] = d0
+        out_start(j)
+
+        return (j - 1, t_end, v_end)
 
     v0 = jnp.zeros((PIX, 1), jnp.float32)
-    jax.lax.while_loop(cond, body, (n_chunks - 1, t_final, v0))
+    jax.lax.while_loop(cond, body, (n_blocks - 1, t_final, v0))
 
-    @pl.when(n_chunks >= 1)
+    @pl.when(n_blocks >= 1)
     def _():
-        out_dma(0).wait()
+        out_wait(0)
 
-    @pl.when(n_chunks >= 2)
+    @pl.when(n_blocks >= 2)
     def _():
-        out_dma(1).wait()
+        out_wait(1)
 
     total_chunks = pl.cdiv(num, C)
 
     @pl.when(n_chunks < total_chunks)
     def _():
-        dscratch[0] = jnp.zeros((W8, C), jnp.float32)
+        dscratch[0, :, 0:C] = jnp.zeros((W8, C), jnp.float32)
 
         def zbody(i, carry):
             zd = pltpu.make_async_copy(
-                dscratch.at[0],
+                dscratch.at[0, :, 0:C],
                 dattr_out.at[:, pl.ds(pl.multiple_of(s + i * C, C), C)],
                 dsem.at[0],
             )
@@ -583,9 +649,9 @@ def fused_backward_pallas(world8, pose_vec, pad_start, lens, state, g_acc,
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[
-                pltpu.VMEM((2, W8, C), jnp.float32),
+                pltpu.VMEM((2, W8, 2 * C), jnp.float32),
                 pltpu.VMEM((CH + 3, PIX), jnp.float32),
-                pltpu.VMEM((2, W8, C), jnp.float32),
+                pltpu.VMEM((2, W8, 2 * C), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA((2,)),
