@@ -124,7 +124,7 @@ def run_variant(name: str, frames: int, h: int, w: int, rebin: int,
     # Replica per frame, so 60 is the matched budget.
     config["tracking"]["num_iters"] = track_iters
     config["tracking"]["use_gt_poses"] = False
-    config["mapping"]["num_iters"] = 60
+    config["mapping"]["num_iters"] = int(os.environ.get("GAUNTLET_MAP_ITERS", 60))
     config["mapping_window_size"] = 24
     config["keyframe_every"] = 5
     config["eval_every"] = 5
