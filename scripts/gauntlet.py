@@ -125,6 +125,13 @@ def run_variant(name: str, frames: int, h: int, w: int, rebin: int,
     config["tracking"]["num_iters"] = track_iters
     config["tracking"]["use_gt_poses"] = False
     config["mapping"]["num_iters"] = int(os.environ.get("GAUNTLET_MAP_ITERS", 60))
+    # GAUNTLET_BOOTSTRAP="frames:iters" front-loads the mapping budget
+    # (pipeline._mapping_budget) for A/Bs against the round-5 findings.
+    boot = os.environ.get("GAUNTLET_BOOTSTRAP")
+    if boot:
+        bf, bi = boot.split(":")
+        config["mapping"]["bootstrap_frames"] = int(bf)
+        config["mapping"]["bootstrap_num_iters"] = int(bi)
     config["mapping_window_size"] = 24
     config["keyframe_every"] = 5
     config["eval_every"] = 5

@@ -86,6 +86,22 @@ def _prune_cfg(mapping: dict) -> steps.PruneConfig:
     )
 
 
+def _mapping_budget(cfg_m: dict, time_idx: int) -> int:
+    """Per-frame mapping iteration budget.
+
+    Front-loaded bootstrap: the full-res drift penalty is early-map
+    under-convergence — tracking drifts against the blurry young map
+    while the dense frame-0 seed anneals, and 2x budget cuts frame-24
+    drift 2.8x but destabilizes the LATE map if left on for the whole
+    run (GAUNTLET.md round-5 mapping-budget A/B). bootstrap_num_iters
+    applies for the first bootstrap_frames frames only, then the
+    standard budget resumes."""
+    num_iters = int(cfg_m["num_iters"])
+    if time_idx < int(cfg_m.get("bootstrap_frames", 0)):
+        num_iters = int(cfg_m.get("bootstrap_num_iters", num_iters))
+    return num_iters
+
+
 def _downscale_camera(cam: Camera, factor: int, pool: bool = False) -> Camera:
     """Camera for the factor-`factor` downsample of the image (coarse-to-fine
     tracking), through the renderer's half-pixel convention (ndc2Pix:
@@ -1330,7 +1346,7 @@ class SLAMRuntime:
 
     def _map_frame_impl(self, time_idx: int, selected: list) -> None:
         cfg_m = self.config["mapping"]
-        num_iters = int(cfg_m["num_iters"])
+        num_iters = _mapping_budget(cfg_m, time_idx)
         if num_iters == 0:
             return
         lrs_d = cfg_m["lrs"]
@@ -1720,7 +1736,8 @@ def rgbd_slam(config: dict) -> dict:
             stats["mapping_frame_time_sum"] += mapping_time
             stats["mapping_frame_time_count"] += 1
             stats["mapping_iter_time_sum"] += mapping_time
-            stats["mapping_iter_time_count"] += int(config["mapping"]["num_iters"])
+            stats["mapping_iter_time_count"] += _mapping_budget(
+                config["mapping"], time_idx)
             if report_iter:
                 _replay_iter_progress(rt._mapping_hist, "Mapping", time_idx)
             if logger.enabled:

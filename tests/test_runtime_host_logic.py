@@ -106,3 +106,19 @@ def test_shutdown_drains_inflight_precompiles():
     # the worker deregistered itself on completion
     with P._LIVE_COMPILES_LOCK:
         assert th not in P._LIVE_COMPILES
+
+
+def test_bootstrap_mapping_budget_schedule():
+    """mapping.bootstrap_num_iters applies for the first bootstrap_frames
+    frames only (GAUNTLET.md round-5 mapping-budget A/B: front-loaded
+    budget cuts early-map drift; leaving it on destabilizes the late
+    map); absent keys mean the standard budget everywhere."""
+    from splatam_tpu.slam.pipeline import _mapping_budget
+
+    cfg = {"num_iters": 6, "bootstrap_num_iters": 12, "bootstrap_frames": 2}
+    assert [_mapping_budget(cfg, t) for t in (0, 1, 2, 7)] == [12, 12, 6, 6]
+    # keys absent -> standard budget for every frame
+    assert [_mapping_budget({"num_iters": 6}, t) for t in (0, 5)] == [6, 6]
+    # bootstrap_frames without bootstrap_num_iters -> no-op
+    cfg2 = {"num_iters": 6, "bootstrap_frames": 3}
+    assert _mapping_budget(cfg2, 0) == 6
