@@ -132,6 +132,9 @@ def run_variant(name: str, frames: int, h: int, w: int, rebin: int,
         bf, bi = boot.split(":")
         config["mapping"]["bootstrap_frames"] = int(bf)
         config["mapping"]["bootstrap_num_iters"] = int(bi)
+    if os.environ.get("GAUNTLET_CUR_PROB"):
+        config["mapping"]["current_frame_prob"] = float(
+            os.environ["GAUNTLET_CUR_PROB"])
     config["mapping_window_size"] = 24
     config["keyframe_every"] = 5
     config["eval_every"] = 5

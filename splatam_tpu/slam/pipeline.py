@@ -1270,10 +1270,20 @@ class SLAMRuntime:
         return selected
 
     def _mapping_inputs(self, time_idx: int, selected: list, num_iters: int):
+        # Reference parity: uniform random keyframe per iteration
+        # (scripts/splatam.py:831-842). Opt-in recency weighting
+        # (mapping.current_frame_prob > 0): with that probability pick the
+        # CURRENT frame instead — the round-5 drift analysis shows error
+        # accrues while newly densified regions are young and blurry, and
+        # the current view is where the young gaussians live. 0 (default)
+        # reproduces the reference exactly.
+        cur_prob = float(self.config["mapping"].get("current_frame_prob", 0.0))
         slots, qs, ts, frame_ids = [], [], [], []
         for _ in range(num_iters):
-            rand_idx = np.random.randint(0, len(selected))
-            sel = selected[rand_idx]
+            if cur_prob > 0.0 and np.random.random() < cur_prob:
+                sel = -1
+            else:
+                sel = selected[np.random.randint(0, len(selected))]
             if sel == -1:
                 frame_id = time_idx
                 slots.append(self.kf_scratch_slot)

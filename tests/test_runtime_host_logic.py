@@ -122,3 +122,38 @@ def test_bootstrap_mapping_budget_schedule():
     # bootstrap_frames without bootstrap_num_iters -> no-op
     cfg2 = {"num_iters": 6, "bootstrap_frames": 3}
     assert _mapping_budget(cfg2, 0) == 6
+
+
+def test_mapping_inputs_recency_weighting():
+    """mapping.current_frame_prob biases the per-iteration keyframe draw
+    toward the current frame; 0 (default) reproduces the reference's
+    uniform draw over the selected window."""
+    import numpy as np
+    from splatam_tpu.slam.pipeline import SLAMRuntime
+
+    class _Host:
+        _mapping_inputs = SLAMRuntime._mapping_inputs
+
+        def __init__(self, prob):
+            self.config = {"mapping": {"current_frame_prob": prob},
+                           "mapping_window_size": 4}
+            self.kf_scratch_slot = 99
+            self.keyframe_list = [
+                {"id": i, "slot": i, "q": np.array([1, 0, 0, 0], np.float32),
+                 "t": np.zeros(3, np.float32)} for i in range(3)
+            ]
+            self.cam_rots = {i: np.array([1, 0, 0, 0], np.float32)
+                             for i in (0, 1, 2, 7)}
+            self.cam_trans = {i: np.zeros(3, np.float32)
+                              for i in (0, 1, 2, 7)}
+            self.rebin_every = 1  # skip the structure-table tail
+
+    np.random.seed(0)
+    slots, _, _ = _Host(1.0)._mapping_inputs(7, [0, 1, 2, -1], 64)[:3]
+    assert set(np.asarray(slots).tolist()) == {99}  # always current frame
+
+    np.random.seed(0)
+    slots0, _, _ = _Host(0.0)._mapping_inputs(7, [0, 1, 2, -1], 512)[:3]
+    counts = np.bincount(np.asarray(slots0), minlength=100)
+    # uniform over {0,1,2,current}: each ~128 of 512
+    assert counts[99] > 64 and all(counts[i] > 64 for i in (0, 1, 2))
